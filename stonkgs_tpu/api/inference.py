@@ -1,0 +1,148 @@
+"""High-level inference engine: load a checkpoint, embed / classify batches.
+
+Bundles config + params + jitted functions behind one object so the
+README flow (``preprocess_df_for_embeddings`` + ``get_stonkgs_embeddings``,
+reference ``models/stonkgs_for_embeddings.py``) and the ``infer_*`` family
+(``api/api.py:234-336``) share a single engine.
+
+TPU-first: one pjit'd forward over padded fixed-size batches (two compiled
+shapes max), instead of the reference's batch-size-1 loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stonkgs_tpu.config import BertConfig, STonKGsConfig
+from stonkgs_tpu.data.artifacts import KGArtifacts, load_kg_artifacts
+from stonkgs_tpu.data.preprocessing import (
+    preprocess_for_embeddings, preprocess_for_finetuning,
+)
+from stonkgs_tpu.data.wordpiece import BertTokenizer
+from stonkgs_tpu.models import stonkgs
+from stonkgs_tpu.utils import hf_loader
+
+BATCH_KEYS = ("input_ids", "attention_mask", "token_type_ids")
+
+
+@dataclasses.dataclass
+class STonKGsEngine:
+    """Loaded STonKGs model + tokenizer + KG artifacts."""
+
+    cfg: STonKGsConfig
+    params: dict
+    tokenizer: Optional[BertTokenizer] = None
+    artifacts: Optional[KGArtifacts] = None
+    compute_dtype: str = "bfloat16"
+    batch_size: int = 64
+
+    def __post_init__(self):
+        dtype = getattr(jnp, self.compute_dtype)
+        self._pooler = jax.jit(
+            partial(stonkgs.pooler_output, cfg=self.cfg, compute_dtype=dtype)
+        )
+        self._classify = jax.jit(
+            partial(stonkgs.classification_logits, cfg=self.cfg,
+                    compute_dtype=dtype)
+        )
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        kg_embedding_path: str,
+        kg_random_walk_path: str,
+        vocab_file: Optional[str] = None,
+        num_labels: Optional[int] = None,
+        **kw,
+    ) -> "STonKGsEngine":
+        """Load an HF-format reference checkpoint + node2vec artifacts.
+
+        Mirrors ``STonKGsForSequenceClassification.from_pretrained(path,
+        kg_embedding_dict_path=...)`` (reference ``api/api.py:104-112``)."""
+        sd = hf_loader.load_state_dict(model_dir)
+        hf_cfg = hf_loader.load_config(model_dir)
+        bert_cfg = BertConfig.from_hf_dict(hf_cfg)
+        kg_vocab = hf_loader.infer_kg_vocab_size(sd)
+        artifacts = load_kg_artifacts(kg_embedding_path, kg_random_walk_path)
+        half = artifacts.rw_len * 2 + 2
+        cfg = STonKGsConfig(
+            bert=bert_cfg, kg_vocab_size=kg_vocab,
+            text_len=half, entity_len=half,
+            num_labels=num_labels or hf_cfg.get("num_labels"),
+        )
+        params = hf_loader.stonkgs_params_from_state_dict(sd, cfg)
+        params["kg_backbone"] = stonkgs.build_kg_table(
+            params["lm_backbone"], cfg.bert, artifacts.vectors
+        )
+        tokenizer = BertTokenizer(vocab_file) if vocab_file else None
+        return cls(cfg=cfg, params=params, tokenizer=tokenizer,
+                   artifacts=artifacts, **kw)
+
+    # -- preprocessing ----------------------------------------------------
+
+    def preprocess(
+        self, sources, targets, evidences,
+        *, apply_masking: bool = True, seed: int = 0,
+    ) -> Dict[str, np.ndarray]:
+        """rows -> model features (reference ``preprocess_df_for_embeddings``)."""
+        assert self.tokenizer is not None and self.artifacts is not None
+        return preprocess_for_embeddings(
+            np.asarray(sources, object), np.asarray(targets, object),
+            list(evidences), self.artifacts, self.tokenizer,
+            sep_id=self.cfg.sep_id, unk_id=self.cfg.unk_id,
+            mask_id=self.cfg.mask_id,
+            apply_masking=apply_masking, seed=seed,
+        )
+
+    # -- batched forwards -------------------------------------------------
+
+    def _batches(self, features: Dict[str, np.ndarray]):
+        n = len(features["input_ids"])
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            chunk = {k: features[k][i: i + bs] for k in BATCH_KEYS}
+            pad = bs - len(chunk["input_ids"])
+            if pad > 0:
+                chunk = {
+                    k: np.concatenate(
+                        [v, np.repeat(v[-1:], pad, axis=0)], axis=0
+                    ) for k, v in chunk.items()
+                }
+            yield chunk, min(bs, n - i)
+
+    def embed(self, features: Dict[str, np.ndarray]) -> np.ndarray:
+        """Pooled [CLS] embeddings, (N, hidden) float32.
+
+        Batched replacement for ``get_stonkgs_embeddings``'s per-row loop."""
+        outs = []
+        for chunk, n_valid in self._batches(features):
+            pooled = self._pooler(
+                self.params, batch={k: jnp.asarray(v) for k, v in chunk.items()}
+            )
+            outs.append(np.asarray(pooled[:n_valid], np.float32))
+        return np.concatenate(outs, axis=0)
+
+    def logits(self, features: Dict[str, np.ndarray]) -> np.ndarray:
+        """Classification logits, (N, num_labels) float32."""
+        assert "classifier" in self.params, "no classification head loaded"
+        outs = []
+        for chunk, n_valid in self._batches(features):
+            lg = self._classify(
+                self.params, batch={k: jnp.asarray(v) for k, v in chunk.items()}
+            )
+            outs.append(np.asarray(lg[:n_valid], np.float32))
+        return np.concatenate(outs, axis=0)
+
+    def predict_proba(self, features: Dict[str, np.ndarray]) -> np.ndarray:
+        lg = self.logits(features)
+        e = np.exp(lg - lg.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)

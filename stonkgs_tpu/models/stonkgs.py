@@ -184,8 +184,14 @@ def trunk_forward(
     precision=None,
     attention_impl: str = "xla",
     remat: bool = False,
+    stop_backbone_gradients: bool = True,
 ) -> Tuple[Array, Array]:
-    """Backbones + trainable trunk. Returns (sequence_output, pooled_output)."""
+    """Backbones + trainable trunk. Returns (sequence_output, pooled_output).
+
+    ``stop_backbone_gradients`` mirrors the reference's frozen backbones
+    (``requires_grad=False``, ``stonkgs_model.py:113-114``): no gradients
+    flow into the LM backbone or KG table, and XLA skips their backward
+    entirely."""
     if not deterministic and dropout_rng is not None:
         r_back, r_trunk = jax.random.split(dropout_rng)
     else:
@@ -196,6 +202,8 @@ def trunk_forward(
         compute_dtype=compute_dtype, precision=precision,
         attention_impl=attention_impl,
     )
+    if stop_backbone_gradients:
+        inputs_embeds = jax.lax.stop_gradient(inputs_embeds)
     seq, pooled = bert.bert_model(
         params["trunk"], cfg.bert,
         inputs_embeds=inputs_embeds,
@@ -270,10 +278,15 @@ def pretraining_loss(
     mlm_labels = batch["masked_lm_labels"]
     elm_labels = batch["ent_masked_lm_labels"]
 
+    # Decoder kernels may be vocab-padded for model-axis sharding
+    # (parallel.mesh.pad_params_for_mesh): slice logits to the true vocab.
+    tv, ev = cfg.bert.vocab_size, cfg.kg_vocab_size
     if dense_heads:
         t = elm_transform(p, seq, cfg.bert, precision)
-        mlm_logits = elm_decode_segment(p, t[:, : cfg.text_len], "text", precision)
-        elm_logits = elm_decode_segment(p, t[:, cfg.text_len:], "entity", precision)
+        mlm_logits = elm_decode_segment(p, t[:, : cfg.text_len], "text",
+                                        precision)[..., :tv]
+        elm_logits = elm_decode_segment(p, t[:, cfg.text_len:], "entity",
+                                        precision)[..., :ev]
         mlm_loss = masked_cross_entropy(mlm_logits, mlm_labels)
         elm_loss = masked_cross_entropy(elm_logits, elm_labels)
     else:
@@ -287,12 +300,12 @@ def pretraining_loss(
         )
         mlm_loss = masked_cross_entropy(
             elm_decode_segment(p, elm_transform(p, text_h, cfg.bert, precision),
-                               "text", precision),
+                               "text", precision)[..., :tv],
             text_l,
         )
         elm_loss = masked_cross_entropy(
             elm_decode_segment(p, elm_transform(p, ent_h, cfg.bert, precision),
-                               "entity", precision),
+                               "entity", precision)[..., :ev],
             ent_l,
         )
 
@@ -338,4 +351,7 @@ def classification_loss(
 ) -> Tuple[Array, dict]:
     logits = classification_logits(params, cfg, batch, **kw)
     loss = masked_cross_entropy(logits, batch["labels"])
-    return loss, {"loss": loss, "logits": logits}
+    accuracy = jnp.mean(
+        (jnp.argmax(logits, axis=-1) == batch["labels"]).astype(jnp.float32)
+    )
+    return loss, {"loss": loss, "accuracy": accuracy}

@@ -1,0 +1,133 @@
+"""Device mesh and sharding rules.
+
+The reference's distributed story is HF accelerate + optional DeepSpeed
+ZeRO-2 over NCCL (``/root/reference/src/stonkgs/models/stonkgs_pretraining.py:
+146-193``, ``constants.py:67``).  TPU-native equivalent: a
+``jax.sharding.Mesh`` with axes
+
+  * ``data``  — batch (data parallelism; gradient psum inserted by XLA),
+  * ``model`` — vocabulary dimension of the large KG entity-embedding table
+    and the MLM/ELM decoders (tensor parallelism for the only weights that
+    are actually large, per BASELINE config 5 "sharded KG entity-embedding
+    table").
+
+Everything else is replicated; optimizer state follows its parameter's
+sharding, so the big-table optimizer state is sharded too (the ZeRO-ish
+memory win where it matters).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a {data, model} mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} > {len(devices)} devices"
+    )
+    devices = devices[: n_data * n_model]
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_pspec(path: str) -> P:
+    """PartitionSpec for a parameter identified by its tree path.
+
+    Sharded on ``model``:
+      * ``kg_backbone``                      (table rows = KG vocab)
+      * ``cls/predictions/entity_decoder``   (output dim = KG vocab)
+      * ``cls/predictions/text_decoder``     (output dim = text vocab)
+      * decoder bias vectors
+    Replicated otherwise.
+    """
+    if path.endswith("kg_backbone"):
+        return P(MODEL_AXIS, None)
+    if "entity_decoder" in path or "text_decoder" in path:
+        return P(None, MODEL_AXIS)
+    if path.endswith("entity_bias") or path.endswith("text_bias"):
+        return P(MODEL_AXIS)
+    return P()
+
+
+def _tree_paths_and_specs(params):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, _ in flat:
+        path_str = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        specs.append(param_pspec(path_str))
+    return treedef, specs
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding tree matching ``params``' structure."""
+    treedef, specs = _tree_paths_and_specs(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [NamedSharding(mesh, s) for s in specs]
+    )
+
+
+def _pad_to_multiple(x, axis: int, m: int):
+    size = x.shape[axis]
+    pad = (-size) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(np.asarray(x), widths) if isinstance(x, np.ndarray) \
+        else jax.numpy.pad(x, widths)
+
+
+def pad_params_for_mesh(params, mesh: Mesh):
+    """Zero-pad model-sharded dims to multiples of the model axis size.
+
+    The KG table / decoder vocab dims are arbitrary sizes; sharding requires
+    divisibility.  Padding is semantically inert: padded KG-table rows are
+    never gathered (input ids < table size) and the losses slice decoder
+    logits back to the true vocab (see ``stonkgs.pretraining_loss``)."""
+    n_model = mesh.shape[MODEL_AXIS]
+    if n_model == 1:
+        return params
+    treedef, specs = _tree_paths_and_specs(params)
+    leaves = jax.tree_util.tree_leaves(params)
+    out = []
+    for leaf, spec in zip(leaves, specs):
+        for axis, name in enumerate(spec):
+            if name == MODEL_AXIS:
+                leaf = _pad_to_multiple(leaf, axis, n_model)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter tree on the mesh with its canonical shardings.
+
+    Pads model-sharded dims as needed (see ``pad_params_for_mesh``)."""
+    params = pad_params_for_mesh(params, mesh)
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def shard_batch(batch, mesh: Mesh):
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,64 @@
+"""Orbax checkpointing with HF-Trainer-style rotation and auto-resume.
+
+Reference behavior: save every ``save_steps`` keeping ``save_total_limit``
+checkpoints, auto-resume via ``get_last_checkpoint``
+(``/root/reference/src/stonkgs/models/stonkgs_pretraining.py:96,185-186,
+195-212``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over ocp.CheckpointManager for TrainState pytrees."""
+
+    def __init__(self, directory: str, save_total_limit: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=save_total_limit,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state) -> None:
+        self._mngr.save(
+            step, args=ocp.args.StandardSave(state.tree())
+        )
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore_latest(self, template_state):
+        """Restore the newest checkpoint into the template's structure.
+
+        Returns None when the directory has no checkpoints (fresh run)."""
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        restored = self._mngr.restore(
+            step,
+            args=ocp.args.StandardRestore(template_state.tree()),
+        )
+        import dataclasses
+
+        return dataclasses.replace(
+            template_state,
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=jax.tree.unflatten(
+                jax.tree.structure(template_state.opt_state),
+                jax.tree.leaves(restored["opt_state"]),
+            ),
+            rng=restored["rng"],
+        )

@@ -1,0 +1,261 @@
+"""Fine-tuning: cross-validated sequence classification.
+
+Re-implements the reference CV harness
+(``/root/reference/src/stonkgs/models/stonkgs_finetuning.py:53-513``):
+deterministic seed-42 splits (StratifiedShuffleSplit size cap -> 5-fold
+KFold), per-fold training from the pre-trained checkpoint with a fresh
+classifier head, weighted-F1 evaluation, predicted-label dump — but the
+training loop is the jitted pjit step from ``train.pretraining`` with
+``classification_loss``.
+
+The 10-task benchmark battery (``run_all_fine_tuning_tasks``,
+``stonkgs_finetuning.py:563-601``) is reproduced in
+``stonkgs_tpu.cli.finetune``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from collections import Counter
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stonkgs_tpu.config import STonKGsConfig
+from stonkgs_tpu.models import stonkgs
+from stonkgs_tpu.models.heads import init_classifier_head
+from stonkgs_tpu.train.optimizer import make_optimizer
+from stonkgs_tpu.train.pretraining import (
+    data_iterator, init_train_state, make_train_step,
+)
+from stonkgs_tpu.utils.logging import RunLogger
+
+
+def get_train_test_splits(
+    labels: np.ndarray,
+    random_seed: int = 42,
+    n_splits: int = 5,
+    max_dataset_size: int = 100_000,
+) -> List[Dict[str, np.ndarray]]:
+    """Deterministic CV indices (reference ``stonkgs_finetuning.py:53-89``).
+
+    If the dataset exceeds ``max_dataset_size``, it is first cut down with a
+    stratified deterministic subsample; then (non-stratified) shuffled
+    KFold. ``n_splits=1`` returns only the first of 5 folds."""
+    from sklearn.model_selection import KFold, StratifiedShuffleSplit
+
+    idx = np.arange(len(labels))
+    if len(labels) > max_dataset_size:
+        splitter = StratifiedShuffleSplit(
+            n_splits=1, train_size=max_dataset_size, random_state=random_seed
+        )
+        keep, _ = next(splitter.split(idx.reshape(-1, 1), labels))
+        idx = idx[keep]
+        labels = labels[keep]
+
+    skf = KFold(
+        n_splits=5 if n_splits == 1 else n_splits,
+        random_state=random_seed, shuffle=True,
+    )
+    result = [
+        {"train_idx": idx[tr], "test_idx": idx[te]}
+        for tr, te in skf.split(idx.reshape(-1, 1), labels)
+    ]
+    return [result[0]] if n_splits == 1 else result
+
+
+def weighted_f1(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    from sklearn.metrics import f1_score
+
+    return float(f1_score(y_true, y_pred, average="weighted"))
+
+
+@dataclasses.dataclass
+class FinetuneConfig:
+    """Defaults = the reference CLI (``stonkgs_finetuning.py:516-546``)."""
+
+    epochs: int = 5
+    lr: float = 5e-5
+    batch_size: int = 8
+    gradient_accumulation: int = 1
+    cv: int = 5
+    max_dataset_size: int = 100_000
+    max_grad_norm: float = 1.0
+    seed: int = 42
+    compute_dtype: str = "bfloat16"
+    eval_batch_size: int = 64
+
+
+def encode_labels(labels_str) -> tuple[np.ndarray, dict, dict]:
+    """String labels -> ints (reference ``stonkgs_finetuning.py:384-388``)."""
+    unique_tags = set(labels_str)
+    tag2id = {label: number for number, label in enumerate(unique_tags)}
+    id2tag = {v: k for k, v in tag2id.items()}
+    return np.array([tag2id[x] for x in labels_str], np.int64), tag2id, id2tag
+
+
+def train_classifier(
+    cfg: STonKGsConfig,
+    pretrained_params: dict,
+    train_features: Dict[str, np.ndarray],
+    run_cfg: FinetuneConfig,
+    *,
+    mesh=None,
+    rng_seed: int = 0,
+):
+    """Train a classifier head (+ full trunk) on preprocessed features."""
+    n = len(train_features["input_ids"])
+    steps_per_epoch = max(
+        n // (run_cfg.batch_size * run_cfg.gradient_accumulation), 1
+    )
+    total_steps = steps_per_epoch * run_cfg.epochs
+
+    # fresh buffer copies: the train step donates its input state, which
+    # would otherwise invalidate the shared pretrained arrays across folds
+    params = jax.tree.map(jnp.array, pretrained_params)
+    params["classifier"] = init_classifier_head(
+        jax.random.PRNGKey(rng_seed + 1), cfg.bert, cfg.num_labels
+    )
+    if mesh is not None:
+        from stonkgs_tpu.parallel.mesh import shard_params
+        params = shard_params(params, mesh)
+
+    tx = make_optimizer(
+        params, learning_rate=run_cfg.lr, total_steps=total_steps,
+        max_grad_norm=run_cfg.max_grad_norm,
+    )
+    state = init_train_state(params, tx, seed=rng_seed)
+    step_fn = make_train_step(
+        cfg, tx,
+        loss_fn=stonkgs.classification_loss,
+        compute_dtype=getattr(jnp, run_cfg.compute_dtype),
+        grad_accumulation_steps=run_cfg.gradient_accumulation,
+        mesh=mesh,
+    )
+    it = data_iterator(
+        train_features,
+        run_cfg.batch_size * run_cfg.gradient_accumulation,
+        seed=rng_seed,
+    )
+    metrics = {}
+    for _ in range(total_steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        if mesh is not None:
+            from stonkgs_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, batch)
+    return state, {k: float(v) for k, v in metrics.items()}
+
+
+def predict(
+    cfg: STonKGsConfig,
+    params: dict,
+    features: Dict[str, np.ndarray],
+    *,
+    batch_size: int = 64,
+    compute_dtype=jnp.bfloat16,
+) -> np.ndarray:
+    """Batched logits over a feature set (padded final batch)."""
+    fn = jax.jit(partial(
+        stonkgs.classification_logits, cfg=cfg, compute_dtype=compute_dtype
+    ))
+    n = len(features["input_ids"])
+    outs = []
+    keys = ("input_ids", "attention_mask", "token_type_ids")
+    for i in range(0, n, batch_size):
+        chunk = {k: features[k][i: i + batch_size] for k in keys}
+        valid = len(chunk["input_ids"])
+        if valid < batch_size:
+            chunk = {k: np.concatenate(
+                [v, np.repeat(v[-1:], batch_size - valid, 0)], 0)
+                for k, v in chunk.items()}
+        lg = fn(params, batch={k: jnp.asarray(v) for k, v in chunk.items()})
+        outs.append(np.asarray(lg[:valid], np.float32))
+    return np.concatenate(outs, 0)
+
+
+def run_sequence_classification_cv(
+    features: Dict[str, np.ndarray],
+    labels_str,
+    pretrained_params: dict,
+    cfg: STonKGsConfig,
+    run_cfg: Optional[FinetuneConfig] = None,
+    *,
+    task_name: str = "",
+    output_dir: Optional[str] = None,
+    logger: Optional[RunLogger] = None,
+    mesh=None,
+) -> Dict[str, float]:
+    """Cross-validated fine-tuning; returns mean/std weighted F1.
+
+    ``features`` come from ``data.preprocessing.preprocess_for_finetuning``;
+    the reference's label encoding / per-fold flow is preserved
+    (``stonkgs_finetuning.py:349-513``)."""
+    run_cfg = run_cfg or FinetuneConfig()
+    labels, tag2id, id2tag = encode_labels(list(labels_str))
+    cfg = cfg.replace(num_labels=len(tag2id))
+
+    splits = get_train_test_splits(
+        labels, random_seed=run_cfg.seed, n_splits=run_cfg.cv,
+        max_dataset_size=run_cfg.max_dataset_size,
+    )
+
+    f1_scores = []
+    rows = []
+    state = None
+    for fold, indices in enumerate(splits):
+        tr, te = indices["train_idx"], indices["test_idx"]
+        train_feats = {k: v[tr] for k, v in features.items()
+                       if k != "labels"}
+        train_feats["labels"] = labels[tr]
+        state, train_metrics = train_classifier(
+            cfg, pretrained_params, train_feats, run_cfg,
+            mesh=mesh, rng_seed=run_cfg.seed + fold,
+        )
+        test_feats = {k: v[te] for k, v in features.items() if k != "labels"}
+        logits = predict(
+            cfg, state.params, test_feats,
+            batch_size=run_cfg.eval_batch_size,
+            compute_dtype=getattr(jnp, run_cfg.compute_dtype),
+        )
+        pred = logits.argmax(axis=1)
+        f1 = weighted_f1(labels[te], pred)
+        f1_scores.append(f1)
+        rows.append((fold, te, pred, labels[te]))
+        if logger:
+            logger.log_param("label dict", str(tag2id))
+            logger.log_param("training dataset size", len(tr))
+            logger.log_param("training class dist", str(Counter(labels[tr].tolist())))
+            logger.log_param("test dataset size", len(te))
+            logger.log_metric("f1_score_weighted", f1, step=fold)
+
+    result = {
+        "f1_score_mean": float(np.mean(f1_scores)),
+        "f1_score_std": float(np.std(f1_scores)),
+    }
+    if logger:
+        logger.log_param("task name", task_name)
+        logger.log_metrics(result)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        import pandas as pd
+
+        result_df = pd.concat([
+            pd.DataFrame({
+                "split": fold,
+                "index": te.tolist(),
+                "predicted_label": [id2tag[p] for p in pred.tolist()],
+                "true_label": [id2tag[t] for t in true.tolist()],
+            })
+            for fold, te, pred, true in rows
+        ], ignore_index=True)
+        result_df.to_csv(
+            os.path.join(output_dir,
+                         f"predicted_labels_stonkgs_{task_name}df.tsv"),
+            sep="\t", index=False,
+        )
+    return result

@@ -1,0 +1,250 @@
+"""Pre-training engine: pjit data-parallel train loop with checkpoint/resume.
+
+TPU-native replacement for the reference driver
+(``/root/reference/src/stonkgs/models/stonkgs_pretraining.py:103-244``):
+HF Trainer + accelerate + optional DeepSpeed ZeRO-2 becomes one jitted
+train step over a {data, model} mesh — gradients are psum'd by XLA over
+ICI, the KG table/decoders (and their optimizer moments) are sharded on
+the model axis, and grad accumulation is a ``lax.scan`` inside the step.
+
+Checkpoint/resume mirrors the reference behavior (save every
+``save_steps``, keep ``save_total_limit``, auto-resume from the latest
+checkpoint — ``stonkgs_pretraining.py:96,185-186,195-212``) using Orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from stonkgs_tpu.config import STonKGsConfig
+from stonkgs_tpu.models import stonkgs
+from stonkgs_tpu.parallel.mesh import shard_batch, shard_params
+from stonkgs_tpu.train.optimizer import make_optimizer
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("step", "params", "opt_state", "rng"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class TrainState:
+    step: Array          # scalar int32
+    params: dict
+    opt_state: optax.OptState
+    rng: Array
+
+    def tree(self):
+        return {"step": self.step, "params": self.params,
+                "opt_state": self.opt_state, "rng": self.rng}
+
+
+def init_train_state(
+    params: dict, tx: optax.GradientTransformation, seed: int = 0
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def make_train_step(
+    cfg: STonKGsConfig,
+    tx: optax.GradientTransformation,
+    *,
+    loss_fn: Optional[Callable] = None,
+    compute_dtype=jnp.bfloat16,
+    grad_accumulation_steps: int = 1,
+    remat: bool = False,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    The step consumes a batch with leading dim
+    ``grad_accumulation_steps * micro_batch`` and scans over micro-batches,
+    accumulating gradients in fp32 (reference equivalent:
+    ``gradient_accumulation_steps`` in TrainingArguments).
+    """
+    if loss_fn is None:
+        loss_fn = partial(stonkgs.pretraining_loss, remat=remat)
+
+    def micro_loss(params, batch, rng):
+        loss, metrics = loss_fn(
+            params, cfg, batch,
+            deterministic=False, dropout_rng=rng,
+            compute_dtype=compute_dtype,
+        )
+        return loss, metrics
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict[str, Array]):
+        rng, step_rng = jax.random.split(state.rng)
+
+        if grad_accumulation_steps == 1:
+            (_, metrics), grads = grad_fn(state.params, batch, step_rng)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    (grad_accumulation_steps, -1) + x.shape[1:]
+                ),
+                batch,
+            )
+            rngs = jax.random.split(step_rng, grad_accumulation_steps)
+
+            def body(acc, inp):
+                g_acc, m_acc = acc
+                mb, r = inp
+                (_, m), g = grad_fn(state.params, mb, r)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                m_acc = jax.tree.map(jnp.add, m_acc, m)
+                return (g_acc, m_acc), None
+
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (_, m0), g0 = grad_fn(state.params, jax.tree.map(lambda x: x[0], micro), rngs[0])
+            (grads, metrics), _ = jax.lax.scan(
+                body, (jax.tree.map(jnp.add, zero_g, g0), m0),
+                (jax.tree.map(lambda x: x[1:], micro), rngs[1:]),
+            )
+            inv = 1.0 / grad_accumulation_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            metrics = jax.tree.map(lambda m: m * inv, metrics)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, metrics
+
+    # Sharding propagates from the inputs: params arrive with their
+    # {model}-axis shardings (shard_params) and batches with P("data");
+    # XLA inserts the gradient psum over ICI.
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+@dataclasses.dataclass
+class PretrainingConfig:
+    """Run configuration (defaults = reference CLI defaults,
+    ``stonkgs_pretraining.py:55-102``)."""
+
+    learning_rate: float = 1e-4
+    max_steps: int = 200
+    warmup_steps: int = 0
+    weight_decay: float = 0.0
+    micro_batch_size: int = 8
+    grad_accumulation_steps: int = 1
+    save_steps: int = 5000
+    save_total_limit: int = 5
+    log_steps: int = 100
+    seed: int = 0
+    compute_dtype: str = "bfloat16"
+    remat: bool = False
+
+    @property
+    def batch_size(self) -> int:
+        return self.micro_batch_size * self.grad_accumulation_steps
+
+
+def data_iterator(
+    features: Dict[str, np.ndarray],
+    batch_size: int,
+    *,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffling epoch iterator over preprocessed feature arrays."""
+    n = len(features["input_ids"])
+    rng = np.random.default_rng(seed)
+    while True:
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i: i + batch_size]
+            yield {k: v[idx] for k, v in features.items()}
+
+
+def pretrain(
+    cfg: STonKGsConfig,
+    params: dict,
+    features: Dict[str, np.ndarray],
+    run_cfg: PretrainingConfig,
+    *,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    log_fn: Optional[Callable[[int, dict], None]] = None,
+) -> TrainState:
+    """Run the pre-training loop; resumes from the latest checkpoint if any."""
+    from stonkgs_tpu.train.checkpoint import CheckpointManager
+
+    if mesh is not None:
+        # pad + place params BEFORE optimizer init so moments match shapes
+        params = shard_params(params, mesh)
+    tx = make_optimizer(
+        params,
+        learning_rate=run_cfg.learning_rate,
+        total_steps=run_cfg.max_steps,
+        warmup_steps=run_cfg.warmup_steps,
+        weight_decay=run_cfg.weight_decay,
+    )
+    state = init_train_state(params, tx, run_cfg.seed)
+
+    ckpt = CheckpointManager(checkpoint_dir, run_cfg.save_total_limit) \
+        if checkpoint_dir else None
+    start_step = 0
+    if ckpt is not None:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            start_step = int(state.step)
+
+    step_fn = make_train_step(
+        cfg, tx,
+        compute_dtype=getattr(jnp, run_cfg.compute_dtype),
+        grad_accumulation_steps=run_cfg.grad_accumulation_steps,
+        remat=run_cfg.remat,
+        mesh=mesh,
+    )
+
+    it = data_iterator(features, run_cfg.batch_size, seed=run_cfg.seed)
+    # fast-forward the iterator on resume for deterministic data order
+    for _ in range(start_step):
+        next(it)
+
+    t0 = time.perf_counter()
+    for step in range(start_step, run_cfg.max_steps):
+        batch = next(it)
+        batch = (
+            shard_batch(batch, mesh) if mesh is not None
+            else {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+        state, metrics = step_fn(state, batch)
+        if log_fn and ((step + 1) % run_cfg.log_steps == 0
+                       or step + 1 == run_cfg.max_steps):
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            m["examples_per_sec"] = (
+                run_cfg.batch_size * (step + 1 - start_step) / dt
+            )
+            log_fn(step + 1, m)
+        if ckpt is not None and (
+            (step + 1) % run_cfg.save_steps == 0
+            or step + 1 == run_cfg.max_steps
+        ):
+            ckpt.save(step + 1, state)
+    return state
