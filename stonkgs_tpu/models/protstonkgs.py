@@ -1,0 +1,261 @@
+"""ProtSTonKGs: tri-modality (text + KG + protein) BigBird, TPU-native.
+
+Re-implementation of ``ProtSTonKGsForPreTraining`` /
+``ProtSTonKGsForSequenceClassification``
+(``/root/reference/src/stonkgs/models/protstonkgs_model.py:104-357``,
+``protstonkgs_finetuning.py:241-372``).
+
+Sequence layout: [text 768 | KG 256 | protein 3072] = 4096 tokens into a
+BigBird trunk (block-sparse attention).  Three frozen backbones produce the
+initial embeddings; only the trunk, the protein projection, and the heads
+train.
+
+Fidelity quirks replicated:
+  * the text half runs through the LM backbone in 3 independent chunks of
+    256 — each chunk gets positions 0..255 and no attention mask
+    (``protstonkgs_model.py:253-263``),
+  * the protein backbone runs without an attention mask,
+  * the trunk gets NO token_type_ids (all zeros),
+  * the PELM head decoders are bias-free with unused bias parameters,
+  * KG-table special rows use the BigBird tokenizer's sep/mask/unk ids and
+    are filled with the *LM backbone's* output for that id
+    (``protstonkgs_model.py:188-192``),
+  * no NSP objective (loss = MLM + ELM + ProtLM).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stonkgs_tpu.config import ProtSTonKGsConfig
+from stonkgs_tpu.models import bert, bigbird
+from stonkgs_tpu.models.bert import _init_dense, dense
+from stonkgs_tpu.models.heads import (
+    classifier_head, elm_decode_segment, elm_transform,
+    init_classifier_head, init_elm_head,
+)
+from stonkgs_tpu.ops.losses import gather_masked_positions, masked_cross_entropy
+
+Array = jax.Array
+
+SEGMENTS = ("text", "entity", "prot")
+
+
+def init_protstonkgs_params(
+    key: Array,
+    cfg: ProtSTonKGsConfig,
+    *,
+    with_classifier: bool = False,
+    kg_table: Optional[Array] = None,
+) -> dict:
+    k_trunk, k_lm, k_prot, k_proj, k_elm, k_cls = jax.random.split(key, 6)
+    params = {
+        "trunk": bigbird.init_bigbird_params(k_trunk, cfg.trunk, with_pooler=True),
+        "lm_backbone": bert.init_bert_params(k_lm, cfg.lm, with_pooler=True),
+        "prot_backbone": bert.init_bert_params(k_prot, cfg.prot, with_pooler=True),
+        "prot_projection": _init_dense(
+            k_proj, cfg.prot.hidden_size, cfg.trunk.hidden_size,
+            cfg.trunk.initializer_range,
+        ),
+        "cls": {
+            "predictions": init_elm_head(
+                k_elm, cfg.trunk,
+                [cfg.lm_vocab_size, cfg.kg_vocab_size, cfg.prot_vocab_size],
+                SEGMENTS,
+            ),
+        },
+        "kg_backbone": (
+            kg_table if kg_table is not None
+            else jnp.zeros((cfg.kg_table_size, cfg.trunk.hidden_size), jnp.float32)
+        ),
+    }
+    if with_classifier:
+        assert cfg.num_labels is not None
+        params["classifier"] = init_classifier_head(k_cls, cfg.trunk, cfg.num_labels)
+    return params
+
+
+def build_kg_table(
+    lm_params: dict,
+    cfg: ProtSTonKGsConfig,
+    kg_vectors: np.ndarray,
+    *,
+    precision=None,
+) -> jnp.ndarray:
+    """(N+3, H) KG table; special rows at the BigBird sep/mask/unk ids."""
+    from stonkgs_tpu.models.stonkgs import kg_row_permutation
+
+    special_ids = (cfg.sep_id, cfg.mask_id, cfg.unk_id)
+    n, h = kg_vectors.shape
+    table = np.zeros((n + 3, h), np.float32)
+    table[kg_row_permutation(n, special_ids)] = np.asarray(kg_vectors, np.float32)
+    ids = jnp.asarray([[s] for s in special_ids], jnp.int32)
+    seq, _ = bert.bert_model(
+        lm_params, cfg.lm, input_ids=ids,
+        deterministic=True, precision=precision, with_pooler=False,
+    )
+    return jnp.asarray(table).at[jnp.asarray(special_ids)].set(seq[:, 0, :])
+
+
+def backbone_embeddings(
+    params: dict,
+    cfg: ProtSTonKGsConfig,
+    input_ids: Array,
+    *,
+    deterministic: bool = True,
+    dropout_rng: Optional[Array] = None,
+    compute_dtype=jnp.float32,
+    precision=None,
+) -> Array:
+    """Three-modality input embeddings (B, 4096, H), trainable projection
+    applied OUTSIDE the stop-gradient boundary (reference no_grad scope)."""
+    chunk = cfg.kg_start_idx // 3
+    B = input_ids.shape[0]
+    # text: 3 maskless chunks, each with positions 0..chunk-1 (quirk)
+    text_in = input_ids[:, : cfg.kg_start_idx].reshape(B * 3, chunk)
+    text_emb, _ = bert.bert_model(
+        params["lm_backbone"], cfg.lm, input_ids=text_in,
+        deterministic=deterministic, dropout_rng=dropout_rng,
+        compute_dtype=compute_dtype, precision=precision, with_pooler=False,
+    )
+    text_emb = text_emb.reshape(B, cfg.kg_start_idx, -1)
+
+    ent_ids = input_ids[:, cfg.kg_start_idx: cfg.prot_start_idx]
+    ent_emb = jnp.take(params["kg_backbone"].astype(compute_dtype), ent_ids, axis=0)
+
+    prot_out, _ = bert.bert_model(
+        params["prot_backbone"], cfg.prot,
+        input_ids=input_ids[:, cfg.prot_start_idx:],
+        deterministic=deterministic,
+        compute_dtype=compute_dtype, precision=precision, with_pooler=False,
+    )
+    text_emb = jax.lax.stop_gradient(text_emb)
+    ent_emb = jax.lax.stop_gradient(ent_emb)
+    prot_out = jax.lax.stop_gradient(prot_out)
+    prot_emb = dense(prot_out, params["prot_projection"], precision)
+    return jnp.concatenate([text_emb, ent_emb, prot_emb], axis=1)
+
+
+def trunk_forward(
+    params: dict,
+    cfg: ProtSTonKGsConfig,
+    input_ids: Array,
+    attention_mask: Optional[Array] = None,
+    *,
+    deterministic: bool = True,
+    dropout_rng: Optional[Array] = None,
+    compute_dtype=jnp.float32,
+    precision=None,
+    remat: bool = False,
+    rand_attn: Optional[np.ndarray] = None,
+) -> Tuple[Array, Array]:
+    if not deterministic and dropout_rng is not None:
+        r_back, r_trunk = jax.random.split(dropout_rng)
+    else:
+        r_back = r_trunk = None
+    inputs_embeds = backbone_embeddings(
+        params, cfg, input_ids,
+        deterministic=deterministic, dropout_rng=r_back,
+        compute_dtype=compute_dtype, precision=precision,
+    )
+    return bigbird.bigbird_model(
+        params["trunk"], cfg.trunk,
+        inputs_embeds=inputs_embeds,
+        attention_mask=attention_mask,
+        deterministic=deterministic, dropout_rng=r_trunk,
+        compute_dtype=compute_dtype, precision=precision,
+        remat=remat, with_pooler=True, rand_attn=rand_attn,
+    )
+
+
+def pretraining_logits(
+    params: dict, cfg: ProtSTonKGsConfig,
+    input_ids: Array, attention_mask: Optional[Array] = None, **kw,
+) -> Tuple[Array, Array, Array, Array]:
+    """(mlm, elm, prot) dense logits + pooled (reference-shaped)."""
+    seq, pooled = trunk_forward(params, cfg, input_ids, attention_mask, **kw)
+    precision = kw.get("precision")
+    p = params["cls"]["predictions"]
+    t = elm_transform(p, seq, cfg.trunk, precision)
+    mlm = elm_decode_segment(p, t[:, : cfg.kg_start_idx], "text", precision)
+    elm = elm_decode_segment(
+        p, t[:, cfg.kg_start_idx: cfg.prot_start_idx], "entity", precision)
+    prot = elm_decode_segment(p, t[:, cfg.prot_start_idx:], "prot", precision)
+    return mlm, elm, prot, pooled
+
+
+def pretraining_loss(
+    params: dict,
+    cfg: ProtSTonKGsConfig,
+    batch: dict,
+    *,
+    dense_heads: bool = False,
+    **kw,
+) -> Tuple[Array, dict]:
+    """MLM + ELM + ProtLM loss (no NSP; ``protstonkgs_model.py:322-345``)."""
+    precision = kw.get("precision")
+    seq, _ = trunk_forward(
+        params, cfg, batch["input_ids"], batch.get("attention_mask"), **kw
+    )
+    p = params["cls"]["predictions"]
+    segs = [
+        ("text", (0, cfg.kg_start_idx), cfg.lm_vocab_size,
+         batch["masked_lm_labels"]),
+        ("entity", (cfg.kg_start_idx, cfg.prot_start_idx), cfg.kg_vocab_size,
+         batch["ent_masked_lm_labels"]),
+        ("prot", (cfg.prot_start_idx, cfg.seq_len), cfg.prot_vocab_size,
+         batch["prot_masked_lm_labels"]),
+    ]
+    losses = {}
+    total = 0.0
+    for name, (a, b), vocab, labels in segs:
+        if dense_heads:
+            logits = elm_decode_segment(
+                p, elm_transform(p, seq[:, a:b], cfg.trunk, precision),
+                name, precision)[..., :vocab]
+            loss = masked_cross_entropy(logits, labels)
+        else:
+            k = max(int((b - a) * 0.15), 1)
+            h, l, _ = gather_masked_positions(seq[:, a:b], labels, k)
+            logits = elm_decode_segment(
+                p, elm_transform(p, h, cfg.trunk, precision), name, precision
+            )[..., :vocab]
+            loss = masked_cross_entropy(logits, l)
+        losses[f"{name}_loss"] = loss
+        total = total + loss
+    losses["loss"] = total
+    return total, losses
+
+
+def classification_logits(
+    params: dict, cfg: ProtSTonKGsConfig, batch: dict,
+    *, deterministic: bool = True, dropout_rng: Optional[Array] = None, **kw,
+) -> Array:
+    if not deterministic and dropout_rng is not None:
+        r_trunk, r_cls = jax.random.split(dropout_rng)
+    else:
+        r_trunk = r_cls = None
+    _, pooled = trunk_forward(
+        params, cfg, batch["input_ids"], batch.get("attention_mask"),
+        deterministic=deterministic, dropout_rng=r_trunk, **kw,
+    )
+    return classifier_head(
+        params["classifier"], pooled,
+        dropout_prob=cfg.trunk.hidden_dropout_prob,
+        dropout_rng=r_cls, deterministic=deterministic,
+        precision=kw.get("precision"),
+    )
+
+
+def classification_loss(
+    params: dict, cfg: ProtSTonKGsConfig, batch: dict, **kw
+) -> Tuple[Array, dict]:
+    logits = classification_logits(params, cfg, batch, **kw)
+    loss = masked_cross_entropy(logits, batch["labels"])
+    accuracy = jnp.mean(
+        (jnp.argmax(logits, axis=-1) == batch["labels"]).astype(jnp.float32))
+    return loss, {"loss": loss, "accuracy": accuracy}

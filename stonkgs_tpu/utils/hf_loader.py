@@ -159,6 +159,35 @@ def stonkgs_params_from_state_dict(
     return params
 
 
+def protstonkgs_params_from_state_dict(
+    sd: Mapping,
+    cfg,  # ProtSTonKGsConfig
+    *,
+    kg_table: Optional[np.ndarray] = None,
+) -> dict:
+    """Full ProtSTonKGs conversion (reference layout: BigBird trunk under
+    ``bert.``, frozen BioBERT under ``lm_backbone.``, frozen ProtBERT under
+    ``prot_backbone.``, projection ``prot_to_lm_hidden_linear``, PELM head
+    under ``cls.predictions``)."""
+    from stonkgs_tpu.models.bigbird import bigbird_params_from_state_dict
+
+    params = {
+        "trunk": bigbird_params_from_state_dict(sd, cfg.trunk, "bert."),
+        "lm_backbone": bert_params_from_state_dict(sd, cfg.lm, "lm_backbone."),
+        "prot_backbone": bert_params_from_state_dict(sd, cfg.prot, "prot_backbone."),
+        "prot_projection": _dense(sd, "prot_to_lm_hidden_linear"),
+        "cls": {
+            "predictions": elm_head_params_from_state_dict(
+                sd, segment_names=("text", "entity", "prot")),
+        },
+    }
+    if kg_table is not None:
+        params["kg_backbone"] = kg_table
+    if "classifier.weight" in sd:
+        params["classifier"] = _dense(sd, "classifier")
+    return params
+
+
 def infer_kg_vocab_size(sd: Mapping) -> int:
     """kg_vocab_size from the entity decoder shape (rows = kg vocab)."""
     return int(np.asarray(sd["cls.predictions.entity_decoder.weight"]).shape[0])
