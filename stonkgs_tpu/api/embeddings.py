@@ -41,7 +41,8 @@ def preprocess_df_for_embeddings(
     artifacts = load_kg_artifacts(
         embedding_name_to_vector_path, embedding_name_to_random_walk_path
     )
-    tokenizer = BertTokenizer(vocab_file_path)
+    from stonkgs_tpu.data.fast_tokenizer import FastBertTokenizer
+    tokenizer = FastBertTokenizer(vocab_file_path)
     feats = preprocess_for_embeddings(
         df["source"].to_numpy(object),
         df["target"].to_numpy(object),

@@ -83,7 +83,10 @@ class STonKGsEngine:
         params["kg_backbone"] = stonkgs.build_kg_table(
             params["lm_backbone"], cfg.bert, artifacts.vectors
         )
-        tokenizer = BertTokenizer(vocab_file) if vocab_file else None
+        tokenizer = None
+        if vocab_file:
+            from stonkgs_tpu.data.fast_tokenizer import FastBertTokenizer
+            tokenizer = FastBertTokenizer(vocab_file)
         return cls(cfg=cfg, params=params, tokenizer=tokenizer,
                    artifacts=artifacts, **kw)
 
