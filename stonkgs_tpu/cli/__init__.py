@@ -1,0 +1,151 @@
+"""Command line interface for :mod:`stonkgs_tpu`.
+
+Extends the reference's bare click group (``src/stonkgs/cli.py``) with
+actual subcommands for every runnable module main: pre-training,
+fine-tuning, node2vec, INDRA extraction, embedding extraction, and the
+benchmark.  Console script: ``stonkgs-tpu`` (pyproject.toml).
+"""
+
+import logging
+
+import click
+
+__all__ = ["main"]
+
+logger = logging.getLogger(__name__)
+
+
+@click.group()
+@click.version_option(package_name=None, prog_name="stonkgs-tpu",
+                      message="%(prog)s (dev)")
+def main():
+    """TPU-native STonKGs framework CLI."""
+
+
+@main.command()
+@click.option("--dataset", "dataset_path", required=True,
+              help="Preprocessed pre-training features (.pkl or .tsv)")
+@click.option("--variant", type=click.Choice(["stonkgs", "transe"]),
+              default="stonkgs")
+@click.option("--kg-embedding-path", default=None,
+              help="node2vec embeddings TSV (builds the KG backbone)")
+@click.option("--lm-checkpoint", default=None,
+              help="HF BioBERT checkpoint dir for the frozen backbone")
+@click.option("--batch_size", default=8, type=int)
+@click.option("--lr", default=1e-4, type=float)
+@click.option("--max_steps", default=200, type=int)
+@click.option("--gradient_accumulation_steps", default=1, type=int)
+@click.option("--save_steps", default=5000, type=int)
+@click.option("--save_total_limit", default=5, type=int)
+@click.option("--output_dir", default="stonkgs-pretraining", type=str)
+@click.option("--n_model_shards", default=1, type=int,
+              help="model-axis size (shards KG table + decoders)")
+@click.option("--compute_dtype", default="bfloat16", type=str)
+@click.option("--local_rank", default=-1, type=int,
+              help="THIS PARAMETER IS IGNORED")
+def pretrain(**kw):
+    """Run STonKGs pre-training (reference stonkgs_pretraining.py CLI)."""
+    from stonkgs_tpu.cli.pretrain import run_pretraining
+
+    run_pretraining(**kw)
+
+
+@main.command()
+@click.option("--train_data_path", required=True, type=str)
+@click.option("--model_path", required=True, help="Pretrained checkpoint dir")
+@click.option("--kg-embedding-path", required=True, type=str)
+@click.option("--kg-walks-path", required=True, type=str)
+@click.option("--vocab-file", required=True, type=str)
+@click.option("--class_column_name", default="class", type=str)
+@click.option("-e", "--epochs", default=5, type=int)
+@click.option("--cv", default=5, type=int)
+@click.option("--lr", default=5e-5, type=float)
+@click.option("--batch_size", default=8, type=int)
+@click.option("--max_dataset_size", default=100000, type=int)
+@click.option("--output_dir", default="stonkgs-finetuning", type=str)
+@click.option("--task_name", default="", type=str)
+def finetune(**kw):
+    """Cross-validated fine-tuning on one task TSV."""
+    from stonkgs_tpu.cli.finetune import run_finetuning
+
+    run_finetuning(**kw)
+
+
+@main.command()
+@click.option("--pretraining_path", required=True, type=str)
+@click.option("--sep", default="\t", type=str)
+@click.option("--n_threads", default=None, type=int)
+@click.option("--dimensions", default=768, type=int)
+@click.option("--walk_length", default=127, type=int)
+@click.option("--epochs", default=4, type=int)
+@click.option("--window_size", default=3, type=int)
+@click.option("--embeddings_output_path", default=None, type=str)
+@click.option("--random_walks_output_path", default=None, type=str)
+@click.option("--output_dir", default=".", type=str)
+def node2vec(**kw):
+    """Train node2vec KG embeddings (reference node2vec.py CLI)."""
+    from stonkgs_tpu.models.node2vec import run_node2vec
+
+    run_node2vec(**kw)
+
+
+@main.command("node2vec-hpo")
+@click.option("--pretraining_path", required=True, type=str)
+@click.option("--n_trials", default=1, type=int)
+@click.option("--seed", default=0, type=int)
+@click.option("--output_dir", default=".", type=str)
+def node2vec_hpo(**kw):
+    """node2vec HPO via link prediction (reference run_node2vec_hpo)."""
+    from stonkgs_tpu.models.node2vec import run_node2vec_hpo
+
+    result = run_node2vec_hpo(**kw)
+    click.echo(str(result))
+
+
+@main.command()
+@click.option("--path", required=True, help="INDRA statements JSON-lines")
+@click.option("--output_dir", required=True, type=str)
+def extract(path, output_dir):
+    """Extract the INDRA KG into task TSVs (reference indra_extraction)."""
+    from stonkgs_tpu.data.indra_extraction import read_indra_triples
+
+    out = read_indra_triples(path, output_dir)
+    for k, v in out.items():
+        click.echo(f"{k}: {v}")
+
+
+@main.command()
+@click.option("--input", "input_path", required=True,
+              help="TSV with source/target/evidence columns")
+@click.option("--model_path", required=True, type=str)
+@click.option("--kg-embedding-path", required=True, type=str)
+@click.option("--kg-walks-path", required=True, type=str)
+@click.option("--vocab-file", required=True, type=str)
+@click.option("--output", "output_path", required=True, type=str)
+@click.option("--batch_size", default=64, type=int)
+@click.option("--no-masking", is_flag=True, default=False,
+              help="disable the reference's inference-time masking quirk")
+def embed(input_path, model_path, kg_embedding_path, kg_walks_path,
+          vocab_file, output_path, batch_size, no_masking):
+    """Extract pooled embeddings for text-triple pairs (README flow)."""
+    import pandas as pd
+
+    from stonkgs_tpu.api.inference import STonKGsEngine
+
+    df = pd.read_csv(input_path, sep="\t")
+    engine = STonKGsEngine.from_pretrained(
+        model_path, kg_embedding_path, kg_walks_path,
+        vocab_file=vocab_file, batch_size=batch_size,
+    )
+    feats = engine.preprocess(
+        df["source"].to_numpy(object), df["target"].to_numpy(object),
+        df["evidence"].tolist(), apply_masking=not no_masking,
+    )
+    emb = engine.embed(feats)
+    out = pd.DataFrame({"embedding": [row.tolist() for row in emb]})
+    out.to_csv(output_path, sep="\t", index=False)
+    click.echo(f"wrote {len(out)} embeddings to {output_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Pre-training driver (reference ``models/stonkgs_pretraining.py:103-244``).
+
+Loads the preprocessed dataset (pickle or TSV with stringified int lists),
+builds the model (KG backbone from node2vec embeddings + frozen LM
+backbone), and runs the pjit train loop with checkpoint auto-resume.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+FEATURE_KEYS = ("input_ids", "attention_mask", "token_type_ids",
+                "masked_lm_labels", "ent_masked_lm_labels",
+                "next_sentence_labels")
+
+
+def load_preprocessed_dataset(path: str) -> Dict[str, np.ndarray]:
+    """Pickle/TSV of preprocessed features -> dict of (N, ...) arrays.
+
+    Equivalent of ``_load_pre_training_data`` (``stonkgs_pretraining.py:
+    37-52``), with TSV list-repair from fix_broken_pretraining_dataset."""
+    import pandas as pd
+
+    from stonkgs_tpu.data.filters import fix_stringified_lists
+
+    if path.endswith(".pkl") or path.endswith(".pickle"):
+        df = pd.read_pickle(path)
+    else:
+        df = fix_stringified_lists(pd.read_csv(path, sep="\t"))
+    out = {}
+    for key in FEATURE_KEYS:
+        if key not in df.columns:
+            continue
+        col = df[key]
+        if np.isscalar(col.iloc[0]) or isinstance(col.iloc[0], (int, np.integer)):
+            out[key] = col.to_numpy(np.int64)
+        else:
+            out[key] = np.stack([np.asarray(v, np.int64) for v in col])
+    return out
+
+
+def run_pretraining(
+    dataset_path: str,
+    *,
+    variant: str = "stonkgs",
+    kg_embedding_path: Optional[str] = None,
+    lm_checkpoint: Optional[str] = None,
+    batch_size: int = 8,
+    lr: float = 1e-4,
+    max_steps: int = 200,
+    gradient_accumulation_steps: int = 1,
+    save_steps: int = 5000,
+    save_total_limit: int = 5,
+    output_dir: str = "stonkgs-pretraining",
+    n_model_shards: int = 1,
+    compute_dtype: str = "bfloat16",
+    local_rank: int = -1,  # accepted and ignored, like the reference CLI
+    seed: int = 0,
+):
+    """Pre-train STonKGs / TransESTonKGs from preprocessed features."""
+    import jax
+    import jax.numpy as jnp
+
+    from stonkgs_tpu.config import BertConfig, STonKGsConfig
+    from stonkgs_tpu.models import stonkgs
+    from stonkgs_tpu.parallel.mesh import make_mesh
+    from stonkgs_tpu.train.pretraining import PretrainingConfig, pretrain
+    from stonkgs_tpu.utils.logging import RunLogger
+
+    features = load_preprocessed_dataset(dataset_path)
+    n = len(features["input_ids"])
+    seq_len = features["input_ids"].shape[1]
+    logger.info("dataset: %d examples, seq len %d (%.1f MB)",
+                n, seq_len,
+                sum(v.nbytes for v in features.values()) / 1e6)
+
+    # infer the layout from the data
+    if variant == "transe":
+        text_len, entity_len = seq_len - 4, 4
+    else:
+        text_len = entity_len = seq_len // 2
+
+    kg_vectors = None
+    if kg_embedding_path:
+        import pandas as pd
+
+        kg_vectors = pd.read_csv(
+            kg_embedding_path, sep="\t", header=None, index_col=0
+        ).to_numpy(np.float32)
+
+    # the model hidden size must match the node2vec embedding dimension
+    # (768 in production; inferred here so small smoke runs work too)
+    hidden = int(kg_vectors.shape[1]) if kg_vectors is not None else 768
+    if hidden == 768:
+        bert_cfg = BertConfig(max_position_embeddings=max(seq_len, 512))
+    else:
+        bert_cfg = BertConfig(
+            hidden_size=hidden,
+            num_attention_heads=max(hidden // 64, 2),
+            intermediate_size=hidden * 4,
+            max_position_embeddings=max(seq_len, 512),
+        )
+    kg_vocab = int(features["input_ids"][:, text_len:].max()) + 1
+    cfg = STonKGsConfig(bert=bert_cfg, kg_vocab_size=kg_vocab,
+                        text_len=text_len, entity_len=entity_len)
+
+    key = jax.random.PRNGKey(seed)
+    if lm_checkpoint:
+        from stonkgs_tpu.utils.hf_loader import (
+            bert_params_from_state_dict, load_state_dict,
+        )
+
+        sd = load_state_dict(lm_checkpoint)
+        prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+        lm_params = bert_params_from_state_dict(sd, bert_cfg, prefix)
+        params = stonkgs.init_stonkgs_params(key, cfg)
+        params["lm_backbone"] = lm_params
+    else:
+        params = stonkgs.init_stonkgs_params(key, cfg)
+
+    if kg_vectors is not None:
+        params["kg_backbone"] = stonkgs.build_kg_table(
+            params["lm_backbone"], cfg.bert, kg_vectors)
+
+    mesh = None
+    if n_model_shards > 1 or len(jax.devices()) > 1:
+        # data axis must divide the micro batch; use the largest divisor
+        # that fits the available devices
+        max_data = len(jax.devices()) // n_model_shards
+        n_data = max(d for d in range(1, max_data + 1) if batch_size % d == 0)
+        mesh = make_mesh(n_data=n_data, n_model=n_model_shards)
+
+    run_cfg = PretrainingConfig(
+        learning_rate=lr, max_steps=max_steps,
+        micro_batch_size=batch_size,
+        grad_accumulation_steps=gradient_accumulation_steps,
+        save_steps=save_steps, save_total_limit=save_total_limit,
+        compute_dtype=compute_dtype, seed=seed,
+    )
+    with RunLogger(log_dir=output_dir, experiment="stonkgs-pretraining") as log:
+        for k, v in vars(run_cfg).items():
+            log.log_param(k, v)
+        state = pretrain(
+            cfg, params, features, run_cfg,
+            mesh=mesh,
+            checkpoint_dir=os.path.join(output_dir, "checkpoints"),
+            log_fn=lambda step, m: log.log_metrics(m, step),
+        )
+    return state

@@ -131,3 +131,21 @@ def shard_params(params, mesh: Mesh):
 def shard_batch(batch, mesh: Mesh):
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_unsharded(tree, mesh: Mesh):
+    """Replicate any leaf that is not already placed across the mesh.
+
+    jit refuses computations whose arguments span different device sets;
+    optimizer scalars (step counts, PRNG keys) created on the default
+    device must be replicated onto the mesh next to the sharded params."""
+    repl = NamedSharding(mesh, P())
+    dev_set = set(mesh.devices.flat)
+
+    def place(x):
+        sh = getattr(x, "sharding", None)
+        if sh is not None and set(getattr(sh, "device_set", ())) == dev_set:
+            return x
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, tree)

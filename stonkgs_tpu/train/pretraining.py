@@ -203,6 +203,17 @@ def pretrain(
         weight_decay=run_cfg.weight_decay,
     )
     state = init_train_state(params, tx, run_cfg.seed)
+    if mesh is not None:
+        # scalars (step, rng, optimizer counts) must live on the same
+        # device set as the sharded params
+        from stonkgs_tpu.parallel.mesh import replicate_unsharded
+
+        state = dataclasses.replace(
+            state,
+            step=replicate_unsharded(state.step, mesh),
+            rng=replicate_unsharded(state.rng, mesh),
+            opt_state=replicate_unsharded(state.opt_state, mesh),
+        )
 
     ckpt = CheckpointManager(checkpoint_dir, run_cfg.save_total_limit) \
         if checkpoint_dir else None
