@@ -36,7 +36,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                            # (bq, S)
-    s = s + bias_ref[0]                          # additive key bias (1, S)
+    s = s + bias_ref[0, 0]                       # additive key bias (S,)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -83,6 +83,8 @@ def flash_attention(
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad), (0, 0)))
         key_bias = jnp.pad(key_bias, ((0, 0), (0, pad)), constant_values=-1e9)
+    # (B, 1, S): TPU block shapes need the 2nd-to-last dim to tile legally
+    key_bias = key_bias[:, None, :]
 
     grid = (B, H, S_pad // bq)
     out = pl.pallas_call(
@@ -95,7 +97,7 @@ def flash_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, S_pad, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad), lambda b, h, i: (b, 0),
+            pl.BlockSpec((1, 1, S_pad), lambda b, h, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
