@@ -106,8 +106,14 @@ def train_classifier(
     *,
     mesh=None,
     rng_seed: int = 0,
+    loss_fn=None,
+    trunk_cfg=None,
 ):
-    """Train a classifier head (+ full trunk) on preprocessed features."""
+    """Train a classifier head (+ full trunk) on preprocessed features.
+
+    ``loss_fn`` defaults to the STonKGs classification loss; pass
+    ``protstonkgs.classification_loss`` for the tri-modality variant
+    (``trunk_cfg`` then selects the config carrying hidden_size)."""
     n = len(train_features["input_ids"])
     steps_per_epoch = max(
         n // (run_cfg.batch_size * run_cfg.gradient_accumulation), 1
@@ -118,7 +124,9 @@ def train_classifier(
     # would otherwise invalidate the shared pretrained arrays across folds
     params = jax.tree.map(jnp.array, pretrained_params)
     params["classifier"] = init_classifier_head(
-        jax.random.PRNGKey(rng_seed + 1), cfg.bert, cfg.num_labels
+        jax.random.PRNGKey(rng_seed + 1),
+        trunk_cfg if trunk_cfg is not None else cfg.bert,
+        cfg.num_labels,
     )
     if mesh is not None:
         from stonkgs_tpu.parallel.mesh import shard_params
@@ -131,7 +139,7 @@ def train_classifier(
     state = init_train_state(params, tx, seed=rng_seed)
     step_fn = make_train_step(
         cfg, tx,
-        loss_fn=stonkgs.classification_loss,
+        loss_fn=loss_fn if loss_fn is not None else stonkgs.classification_loss,
         compute_dtype=getattr(jnp, run_cfg.compute_dtype),
         grad_accumulation_steps=run_cfg.gradient_accumulation,
         mesh=mesh,
@@ -158,14 +166,17 @@ def predict(
     *,
     batch_size: int = 64,
     compute_dtype=jnp.bfloat16,
+    logits_fn=None,
 ) -> np.ndarray:
     """Batched logits over a feature set (padded final batch)."""
     fn = jax.jit(partial(
-        stonkgs.classification_logits, cfg=cfg, compute_dtype=compute_dtype
+        logits_fn if logits_fn is not None else stonkgs.classification_logits,
+        cfg=cfg, compute_dtype=compute_dtype,
     ))
     n = len(features["input_ids"])
     outs = []
-    keys = ("input_ids", "attention_mask", "token_type_ids")
+    keys = tuple(k for k in ("input_ids", "attention_mask", "token_type_ids")
+                 if k in features)
     for i in range(0, n, batch_size):
         chunk = {k: features[k][i: i + batch_size] for k in keys}
         valid = len(chunk["input_ids"])
@@ -189,12 +200,16 @@ def run_sequence_classification_cv(
     output_dir: Optional[str] = None,
     logger: Optional[RunLogger] = None,
     mesh=None,
+    loss_fn=None,
+    logits_fn=None,
+    trunk_cfg=None,
 ) -> Dict[str, float]:
     """Cross-validated fine-tuning; returns mean/std weighted F1.
 
     ``features`` come from ``data.preprocessing.preprocess_for_finetuning``;
     the reference's label encoding / per-fold flow is preserved
-    (``stonkgs_finetuning.py:349-513``)."""
+    (``stonkgs_finetuning.py:349-513``).  ``loss_fn``/``logits_fn``/
+    ``trunk_cfg`` switch the model family (ProtSTonKGs)."""
     run_cfg = run_cfg or FinetuneConfig()
     labels, tag2id, id2tag = encode_labels(list(labels_str))
     cfg = cfg.replace(num_labels=len(tag2id))
@@ -215,12 +230,14 @@ def run_sequence_classification_cv(
         state, train_metrics = train_classifier(
             cfg, pretrained_params, train_feats, run_cfg,
             mesh=mesh, rng_seed=run_cfg.seed + fold,
+            loss_fn=loss_fn, trunk_cfg=trunk_cfg,
         )
         test_feats = {k: v[te] for k, v in features.items() if k != "labels"}
         logits = predict(
             cfg, state.params, test_feats,
             batch_size=run_cfg.eval_batch_size,
             compute_dtype=getattr(jnp, run_cfg.compute_dtype),
+            logits_fn=logits_fn,
         )
         pred = logits.argmax(axis=1)
         f1 = weighted_f1(labels[te], pred)
