@@ -90,6 +90,39 @@ class STonKGsEngine:
         return cls(cfg=cfg, params=params, tokenizer=tokenizer,
                    artifacts=artifacts, **kw)
 
+    @classmethod
+    def from_default_pretrained(
+        cls, model_name: Optional[str] = None, **kw
+    ) -> "STonKGsEngine":
+        """Load a published HF-hub checkpoint (default stonkgs/stonkgs-150k)
+        plus the Zenodo node2vec artifacts and BioBERT vocab.
+
+        Reference: ``STonKGsForPreTraining.from_default_pretrained``
+        (``stonkgs_model.py:143-147``) + ``api/api.py`` ensure functions."""
+        from stonkgs_tpu.api.api import ensure_embeddings, ensure_vocab, ensure_walks
+        from stonkgs_tpu.constants import DEFAULT_PRETRAINED_MODEL
+        from stonkgs_tpu.utils.cache import ensure
+
+        name = model_name or DEFAULT_PRETRAINED_MODEL
+        sub = "hub/" + name.replace("/", "--")
+        base = f"https://huggingface.co/{name}/resolve/main"
+        ensure(f"{base}/config.json", sub)
+        ckpt = ensure(f"{base}/pytorch_model.bin", sub)
+        return cls.from_pretrained(
+            str(ckpt.parent),
+            kg_embedding_path=str(ensure_embeddings()),
+            kg_random_walk_path=str(ensure_walks()),
+            vocab_file=str(ensure_vocab()),
+            **kw,
+        )
+
+    def save_pretrained(self, output_dir: str) -> str:
+        """Export to an HF-format checkpoint directory (interop with the
+        reference implementation)."""
+        from stonkgs_tpu.utils.hf_export import save_pretrained
+
+        return save_pretrained(self.params, self.cfg, output_dir)
+
     # -- preprocessing ----------------------------------------------------
 
     def preprocess(

@@ -122,7 +122,11 @@ def build_kg_table(
     sequence ``[special_id]`` (reference: ``stonkgs_model.py:138-141``).
     """
     n, h = kg_vectors.shape
-    assert h == bert_cfg.hidden_size
+    assert h == bert_cfg.hidden_size, (
+        f"KG embedding dim {h} != model hidden size {bert_cfg.hidden_size}")
+    assert max(special_ids) < bert_cfg.vocab_size, (
+        f"special token ids {special_ids} exceed LM vocab "
+        f"{bert_cfg.vocab_size} — cannot embed them for the KG table")
     table = np.zeros((n + 3, h), np.float32)
     table[kg_row_permutation(n, special_ids)] = np.asarray(kg_vectors, np.float32)
 

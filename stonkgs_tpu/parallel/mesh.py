@@ -57,9 +57,11 @@ def param_pspec(path: str) -> P:
     """
     if path.endswith("kg_backbone"):
         return P(MODEL_AXIS, None)
-    if "entity_decoder" in path or "text_decoder" in path:
+    if ("entity_decoder" in path or "text_decoder" in path
+            or "prot_decoder" in path):
         return P(None, MODEL_AXIS)
-    if path.endswith("entity_bias") or path.endswith("text_bias"):
+    if (path.endswith("entity_bias") or path.endswith("text_bias")
+            or path.endswith("prot_bias")):
         return P(MODEL_AXIS)
     return P()
 

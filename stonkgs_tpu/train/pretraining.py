@@ -188,8 +188,12 @@ def pretrain(
     mesh: Optional[Mesh] = None,
     checkpoint_dir: Optional[str] = None,
     log_fn: Optional[Callable[[int, dict], None]] = None,
+    loss_fn: Optional[Callable] = None,
 ) -> TrainState:
-    """Run the pre-training loop; resumes from the latest checkpoint if any."""
+    """Run the pre-training loop; resumes from the latest checkpoint if any.
+
+    ``loss_fn`` defaults to the STonKGs MLM+ELM+NSP loss; pass
+    ``protstonkgs.pretraining_loss`` for the tri-modality variant."""
     from stonkgs_tpu.train.checkpoint import CheckpointManager
 
     if mesh is not None:
@@ -226,6 +230,7 @@ def pretrain(
 
     step_fn = make_train_step(
         cfg, tx,
+        loss_fn=loss_fn,
         compute_dtype=getattr(jnp, run_cfg.compute_dtype),
         grad_accumulation_steps=run_cfg.grad_accumulation_steps,
         remat=run_cfg.remat,
