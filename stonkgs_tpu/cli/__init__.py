@@ -41,6 +41,9 @@ def main():
 @click.option("--n_model_shards", default=1, type=int,
               help="model-axis size (shards KG table + decoders)")
 @click.option("--compute_dtype", default="bfloat16", type=str)
+@click.option("--remat/--no-remat", default=True,
+              help="rematerialize the trunk in backward (HBM for FLOPs; "
+                   "required for full-size single-chip training)")
 @click.option("--local_rank", default=-1, type=int,
               help="THIS PARAMETER IS IGNORED")
 def pretrain(**kw):

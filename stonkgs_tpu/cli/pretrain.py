@@ -60,6 +60,7 @@ def run_pretraining(
     output_dir: str = "stonkgs-pretraining",
     n_model_shards: int = 1,
     compute_dtype: str = "bfloat16",
+    remat: bool = True,
     local_rank: int = -1,  # accepted and ignored, like the reference CLI
     seed: int = 0,
 ):
@@ -141,7 +142,7 @@ def run_pretraining(
         micro_batch_size=batch_size,
         grad_accumulation_steps=gradient_accumulation_steps,
         save_steps=save_steps, save_total_limit=save_total_limit,
-        compute_dtype=compute_dtype, seed=seed,
+        compute_dtype=compute_dtype, seed=seed, remat=remat,
     )
     with RunLogger(log_dir=output_dir, experiment="stonkgs-pretraining") as log:
         for k, v in vars(run_cfg).items():
