@@ -106,6 +106,54 @@ def node2vec_hpo(**kw):
 
 
 @main.command()
+@click.option("--pretraining_path", required=True,
+              help="pretraining_triples.tsv (source/target/evidence columns)")
+@click.option("--kg-embedding-path", required=True, type=str)
+@click.option("--kg-walks-path", required=True, type=str)
+@click.option("--vocab-file", required=True, type=str)
+@click.option("--variant", type=click.Choice(["stonkgs", "transe"]),
+              default="stonkgs")
+@click.option("--nsp_negative_proportion", default=0.25, type=float)
+@click.option("--seed", default=0, type=int)
+@click.option("--output", "output_path", required=True,
+              help="output .pkl of preprocessed features")
+def preprocess(pretraining_path, kg_embedding_path, kg_walks_path,
+               vocab_file, variant, nsp_negative_proportion, seed,
+               output_path):
+    """Preprocess pre-training triples into model features
+    (reference indra_for_pretraining / transe_indra_for_pretraining)."""
+    import pandas as pd
+
+    from stonkgs_tpu.data.fast_tokenizer import FastBertTokenizer
+
+    df = pd.read_csv(pretraining_path, sep="\t")
+    tokenizer = FastBertTokenizer(vocab_file)
+    if variant == "transe":
+        from stonkgs_tpu.data.transe import (
+            load_transe_artifacts, preprocess_transe_for_pretraining,
+        )
+
+        artifacts = load_transe_artifacts(kg_embedding_path)
+        feats, skips = preprocess_transe_for_pretraining(
+            df["source"].tolist(), df["relation"].tolist(),
+            df["target"].tolist(), df["evidence"].tolist(),
+            artifacts, tokenizer,
+            nsp_negative_proportion=nsp_negative_proportion, seed=seed)
+        click.echo(f"{skips} many examples were skipped")
+    else:
+        from stonkgs_tpu.data.artifacts import load_kg_artifacts
+        from stonkgs_tpu.data.preprocessing import preprocess_for_pretraining
+
+        artifacts = load_kg_artifacts(kg_embedding_path, kg_walks_path)
+        feats = preprocess_for_pretraining(
+            df["source"].to_numpy(object), df["target"].to_numpy(object),
+            df["evidence"].tolist(), artifacts, tokenizer,
+            nsp_negative_proportion=nsp_negative_proportion, seed=seed)
+    pd.DataFrame({k: list(v) for k, v in feats.items()}).to_pickle(output_path)
+    click.echo(f"wrote {len(feats['input_ids'])} examples to {output_path}")
+
+
+@main.command()
 @click.option("--path", required=True, help="INDRA statements JSON-lines")
 @click.option("--output_dir", required=True, type=str)
 def extract(path, output_dir):
