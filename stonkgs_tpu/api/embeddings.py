@@ -9,7 +9,7 @@ of per-row with batch size 1.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

@@ -16,9 +16,7 @@ Re-implements ``KGEClassificationModel`` and its datasets
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import json
 import logging
 import os
 from collections import Counter
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, Iterable, List, Tuple
 
 import networkx as nx
 

@@ -19,7 +19,6 @@ optuna if importable, deterministic grid search otherwise.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import os
 from typing import Dict, Optional, Tuple

@@ -17,8 +17,7 @@ to dense block gathers + batched matmuls on the MXU.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

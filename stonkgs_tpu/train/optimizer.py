@@ -10,7 +10,7 @@ AdamW (b1=0.9, b2=0.999, eps=1e-8), weight_decay=0.0, linear LR decay from
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import optax

@@ -14,7 +14,7 @@ from typing import Mapping
 
 import numpy as np
 
-from stonkgs_tpu.config import BertConfig, STonKGsConfig
+from stonkgs_tpu.config import STonKGsConfig
 
 
 def _t(x) -> np.ndarray:
