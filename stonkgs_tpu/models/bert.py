@@ -39,7 +39,14 @@ NEG_INF = -1e9  # additive attention bias for masked positions
 # ---------------------------------------------------------------------------
 
 def dense(x: Array, p: dict, precision=None) -> Array:
-    """y = x @ kernel + bias.  kernel: (in, out)."""
+    """y = x @ kernel + bias.  kernel: (in, out).
+
+    Dispatches to the int8 path when the leaf was quantized
+    (``ops.quantization.quantize_params``)."""
+    if "kernel_q" in p:
+        from stonkgs_tpu.ops.quantization import dense_int8
+
+        return dense_int8(x, p, precision)
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype), precision=precision)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
