@@ -182,3 +182,49 @@ class STonKGsEngine:
         lg = self.logits(features)
         e = np.exp(lg - lg.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
+
+    # -- streaming bulk extraction (BASELINE config 4) ---------------------
+
+    def embed_stream(
+        self, rows, *, chunk_rows: int = 4096,
+        apply_masking: bool = True, seed: int = 0,
+    ):
+        """Stream pooled embeddings over an iterable of (source, target,
+        evidence) rows without materializing the whole corpus.
+
+        Host preprocessing (C++ tokenizer + walk gathers) of chunk i+1
+        overlaps the device compute of chunk i: the forward of the previous
+        chunk is dispatched asynchronously and fetched only after the next
+        chunk is tokenized.  Yields (N_chunk, hidden) float32 arrays."""
+        import itertools
+
+        rows = iter(rows)
+        pending = []  # dispatched device arrays awaiting fetch
+
+        def dispatch(chunk):
+            src, tgt, ev = zip(*chunk)
+            feats = self.preprocess(
+                np.asarray(src, object), np.asarray(tgt, object), list(ev),
+                apply_masking=apply_masking, seed=seed,
+            )
+            outs = []
+            for piece, n_valid in self._batches(feats):
+                pooled = self._pooler(
+                    self.params,
+                    batch={k: jnp.asarray(v) for k, v in piece.items()},
+                )
+                outs.append((pooled, n_valid))
+            return outs
+
+        while True:
+            chunk = list(itertools.islice(rows, chunk_rows))
+            if not chunk:
+                break
+            dispatched = dispatch(chunk)   # device work is in flight
+            if pending:
+                yield np.concatenate(
+                    [np.asarray(p[:n], np.float32) for p, n in pending], 0)
+            pending = dispatched
+        if pending:
+            yield np.concatenate(
+                [np.asarray(p[:n], np.float32) for p, n in pending], 0)

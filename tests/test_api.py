@@ -124,6 +124,24 @@ def test_dataframe_api(setup, tmp_path):
     assert len(out["embedding"][0]) == TINY["hidden_size"]
 
 
+def test_embed_stream_matches_batch(setup):
+    """Streaming extraction yields the same embeddings as one-shot embed."""
+    golden, engine = setup
+    n = 10
+    rows = [(f"node{i}", f"node{(i + 2) % 20}", "alpha activates beta")
+            for i in range(n)]
+    chunks = list(engine.embed_stream(rows, chunk_rows=4, apply_masking=False))
+    streamed = np.concatenate(chunks, axis=0)
+    assert streamed.shape == (n, TINY["hidden_size"])
+
+    src = np.array([r[0] for r in rows], object)
+    tgt = np.array([r[1] for r in rows], object)
+    feats = engine.preprocess(src, tgt, [r[2] for r in rows],
+                              apply_masking=False)
+    direct = engine.embed(feats)
+    np.testing.assert_allclose(streamed, direct, atol=1e-5)
+
+
 def test_unknown_node_unk_fallback(setup):
     golden, engine = setup
     src = np.array(["definitely-not-a-node"], object)

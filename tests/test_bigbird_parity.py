@@ -127,6 +127,34 @@ def test_inputs_embeds_block_sparse(torch_model, jax_setup, rng):
         np.asarray(seq), out.last_hidden_state.numpy(), atol=5e-5, rtol=1e-3)
 
 
+def test_block_sparse_training_mode_parity(torch_model, jax_setup, rng):
+    """Train-mode forward (random plans active, dropout 0) matches HF."""
+    cfg, params = jax_setup
+    tm = transformers.BigBirdModel(transformers.BigBirdConfig(
+        **{**TINY, "hidden_dropout_prob": 0.0,
+           "attention_probs_dropout_prob": 0.0}))
+    tm.load_state_dict(torch_model.state_dict())
+    tm.train()  # random attention plans are generated (seeded per layer)
+    B, S = 2, 192
+    ids = rng.integers(0, 99, (B, S))
+    mask = np.ones((B, S), np.int64)
+    with torch.no_grad():
+        out = tm(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask))
+
+    from stonkgs_tpu.ops.bigbird_sparse import build_rand_attn
+
+    rand_attn = build_rand_attn(
+        S, cfg.block_size, cfg.num_random_blocks, cfg.num_attention_heads,
+        cfg.num_hidden_layers, cfg.max_position_embeddings, training=True)
+    seq, _ = bigbird_model(
+        params, cfg,
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+        precision="highest", rand_attn=rand_attn,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq), out.last_hidden_state.numpy(), atol=5e-5, rtol=1e-3)
+
+
 def test_training_rand_plan_matches_hf(torch_model):
     """Training-mode random plans replicate HF's np.random stream."""
     hf_attn = torch_model.encoder.layer[0].attention.self
