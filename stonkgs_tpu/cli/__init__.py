@@ -198,5 +198,23 @@ def embed(input_path, model_path, kg_embedding_path, kg_walks_path,
     click.echo(f"wrote {len(out)} embeddings to {output_path}")
 
 
+@main.command("verify-parity")
+@click.option("--model_path", required=True, type=str)
+@click.option("--kg-embedding-path", required=True, type=str)
+@click.option("--kg-walks-path", required=True, type=str)
+@click.option("--n_rows", default=8, type=int)
+@click.option("--tolerance", default=1e-5, type=float)
+def verify_parity_cmd(model_path, kg_embedding_path, kg_walks_path, n_rows,
+                      tolerance):
+    """Compare this framework against a torch execution of a checkpoint."""
+    from stonkgs_tpu.utils.parity import verify_parity
+
+    report = verify_parity(model_path, kg_embedding_path, kg_walks_path,
+                           n_rows=n_rows)
+    click.echo(report.summary(tolerance))
+    if report.max_dev >= tolerance:
+        raise SystemExit(1)
+
+
 if __name__ == "__main__":
     main()
