@@ -59,26 +59,39 @@ class STonKGsEngine:
         cls,
         model_dir: str,
         kg_embedding_path: str,
-        kg_random_walk_path: str,
+        kg_random_walk_path: Optional[str] = None,
         vocab_file: Optional[str] = None,
         num_labels: Optional[int] = None,
+        variant: str = "stonkgs",
         **kw,
     ) -> "STonKGsEngine":
         """Load an HF-format reference checkpoint + node2vec artifacts.
 
         Mirrors ``STonKGsForSequenceClassification.from_pretrained(path,
-        kg_embedding_dict_path=...)`` (reference ``api/api.py:104-112``)."""
+        kg_embedding_dict_path=...)`` (reference ``api/api.py:104-112``).
+        ``variant="transe"`` loads TransE embeddings (no walks file) with
+        the 256+4 sequence layout."""
         sd = hf_loader.load_state_dict(model_dir)
         hf_cfg = hf_loader.load_config(model_dir)
         bert_cfg = BertConfig.from_hf_dict(hf_cfg)
         kg_vocab = hf_loader.infer_kg_vocab_size(sd)
-        artifacts = load_kg_artifacts(kg_embedding_path, kg_random_walk_path)
-        half = artifacts.rw_len * 2 + 2
-        cfg = STonKGsConfig(
-            bert=bert_cfg, kg_vocab_size=kg_vocab,
-            text_len=half, entity_len=half,
-            num_labels=num_labels or hf_cfg.get("num_labels"),
-        )
+        if variant == "transe":
+            from stonkgs_tpu.data.transe import load_transe_artifacts
+
+            artifacts = load_transe_artifacts(kg_embedding_path)
+            cfg = STonKGsConfig(
+                bert=bert_cfg, kg_vocab_size=kg_vocab,
+                text_len=bert_cfg.max_position_embeddings - 4, entity_len=4,
+                num_labels=num_labels or hf_cfg.get("num_labels"),
+            )
+        else:
+            artifacts = load_kg_artifacts(kg_embedding_path, kg_random_walk_path)
+            half = artifacts.rw_len * 2 + 2
+            cfg = STonKGsConfig(
+                bert=bert_cfg, kg_vocab_size=kg_vocab,
+                text_len=half, entity_len=half,
+                num_labels=num_labels or hf_cfg.get("num_labels"),
+            )
         params = hf_loader.stonkgs_params_from_state_dict(sd, cfg)
         params["kg_backbone"] = stonkgs.build_kg_table(
             params["lm_backbone"], cfg.bert, artifacts.vectors
@@ -127,10 +140,26 @@ class STonKGsEngine:
 
     def preprocess(
         self, sources, targets, evidences,
-        *, apply_masking: bool = True, seed: int = 0,
+        *, relations=None, apply_masking: bool = True, seed: int = 0,
     ) -> Dict[str, np.ndarray]:
-        """rows -> model features (reference ``preprocess_df_for_embeddings``)."""
+        """rows -> model features (reference ``preprocess_df_for_embeddings``).
+
+        For a TransE-variant engine pass ``relations`` as well."""
         assert self.tokenizer is not None and self.artifacts is not None
+        from stonkgs_tpu.data.transe import TransEArtifacts
+
+        if isinstance(self.artifacts, TransEArtifacts):
+            from stonkgs_tpu.data.transe import preprocess_transe_for_finetuning
+
+            assert relations is not None, "TransE preprocessing needs relations"
+            feats = preprocess_transe_for_finetuning(
+                list(sources), list(relations), list(targets),
+                list(evidences), np.zeros(len(evidences), np.int64),
+                self.artifacts, self.tokenizer,
+                text_part_length=self.cfg.text_len, sep_id=self.cfg.sep_id,
+            )
+            feats.pop("labels")
+            return feats
         return preprocess_for_embeddings(
             np.asarray(sources, object), np.asarray(targets, object),
             list(evidences), self.artifacts, self.tokenizer,

@@ -31,6 +31,8 @@ def main():
               help="node2vec embeddings TSV (builds the KG backbone)")
 @click.option("--lm-checkpoint", default=None,
               help="HF BioBERT checkpoint dir for the frozen backbone")
+@click.option("--vocab-file", default=None,
+              help="tokenizer vocab.txt (sets the text vocab size)")
 @click.option("--batch_size", default=8, type=int)
 @click.option("--lr", default=1e-4, type=float)
 @click.option("--max_steps", default=200, type=int)
@@ -44,6 +46,8 @@ def main():
 @click.option("--remat/--no-remat", default=True,
               help="rematerialize the trunk in backward (HBM for FLOPs; "
                    "required for full-size single-chip training)")
+@click.option("--export_hf_dir", default=None, type=str,
+              help="export the final model as an HF checkpoint directory")
 @click.option("--local_rank", default=-1, type=int,
               help="THIS PARAMETER IS IGNORED")
 def pretrain(**kw):

@@ -51,6 +51,7 @@ def run_pretraining(
     variant: str = "stonkgs",
     kg_embedding_path: Optional[str] = None,
     lm_checkpoint: Optional[str] = None,
+    vocab_file: Optional[str] = None,
     batch_size: int = 8,
     lr: float = 1e-4,
     max_steps: int = 200,
@@ -61,6 +62,7 @@ def run_pretraining(
     n_model_shards: int = 1,
     compute_dtype: str = "bfloat16",
     remat: bool = True,
+    export_hf_dir: Optional[str] = None,
     local_rank: int = -1,  # accepted and ignored, like the reference CLI
     seed: int = 0,
 ):
@@ -98,10 +100,16 @@ def run_pretraining(
     # the model hidden size must match the node2vec embedding dimension
     # (768 in production; inferred here so small smoke runs work too)
     hidden = int(kg_vectors.shape[1]) if kg_vectors is not None else 768
+    vocab_size = 28996  # BioBERT default
+    if vocab_file:
+        with open(vocab_file) as f:
+            vocab_size = sum(1 for _ in f)
     if hidden == 768:
-        bert_cfg = BertConfig(max_position_embeddings=max(seq_len, 512))
+        bert_cfg = BertConfig(vocab_size=vocab_size,
+                              max_position_embeddings=max(seq_len, 512))
     else:
         bert_cfg = BertConfig(
+            vocab_size=vocab_size,
             hidden_size=hidden,
             num_attention_heads=max(hidden // 64, 2),
             intermediate_size=hidden * 4,
@@ -153,4 +161,9 @@ def run_pretraining(
             checkpoint_dir=os.path.join(output_dir, "checkpoints"),
             log_fn=lambda step, m: log.log_metrics(m, step),
         )
+    if export_hf_dir:
+        from stonkgs_tpu.utils.hf_export import save_pretrained
+
+        save_pretrained(state.params, cfg, export_hf_dir)
+        logger.info("exported HF checkpoint to %s", export_hf_dir)
     return state

@@ -78,11 +78,14 @@ def stonkgs_state_dict(params: Mapping, cfg: STonKGsConfig) -> dict:
     p = params["cls"]["predictions"]
     _dense(sd, "cls.predictions.transform.dense", p["transform"]["dense"])
     _ln(sd, "cls.predictions.transform.LayerNorm", p["transform"]["layer_norm"])
+    vocab_sizes = {"text": cfg.bert.vocab_size, "entity": cfg.kg_vocab_size}
     for name in ("text", "entity"):
         if f"{name}_decoder" in p:
+            # slice away any model-axis sharding padding (mesh.pad_params_for_mesh)
+            v = vocab_sizes[name]
             sd[f"cls.predictions.{name}_decoder.weight"] = _t(
-                p[f"{name}_decoder"]["kernel"]).T
-            sd[f"cls.predictions.{name}_bias"] = _t(p[f"{name}_bias"])
+                p[f"{name}_decoder"]["kernel"])[:, :v].T
+            sd[f"cls.predictions.{name}_bias"] = _t(p[f"{name}_bias"])[:v]
     # parent BertLMPredictionHead params (unused by forward; tied to word emb)
     sd["cls.predictions.decoder.weight"] = sd["bert.embeddings.word_embeddings.weight"]
     sd["cls.predictions.decoder.bias"] = np.zeros(cfg.bert.vocab_size, np.float32)

@@ -149,3 +149,75 @@ def test_api_infer_with_local_cache(assets, monkeypatch):
                               columns=api.SPECIES_COLUMNS, as_dataframe=True)
     assert list(out_df.columns)[:3] == ["source", "target", "evidence"]
     assert len(out_df) == 2
+
+
+def test_pretrain_export_roundtrip(assets, tmp_path):
+    """Pretraining export unpads sharded decoders back to true vocab sizes."""
+    from stonkgs_tpu.cli.pretrain import run_pretraining
+    from stonkgs_tpu.data.artifacts import load_kg_artifacts
+    from stonkgs_tpu.data.preprocessing import preprocess_for_pretraining
+    from stonkgs_tpu.data.wordpiece import BertTokenizer
+    from stonkgs_tpu.utils.hf_loader import infer_kg_vocab_size, load_state_dict
+
+    artifacts = load_kg_artifacts(assets / "embeddings.tsv", assets / "walks.tsv")
+    tok = BertTokenizer(str(assets / "vocab.txt"))
+    df = pd.read_csv(assets / "task.tsv", sep="\t")
+    feats = preprocess_for_pretraining(
+        df["source"].to_numpy(object), df["target"].to_numpy(object),
+        df["evidence"].tolist(), artifacts, tok, seed=0)
+    pkl = tmp_path / "pre.pkl"
+    pd.DataFrame({k: list(v) for k, v in feats.items()}).to_pickle(pkl)
+
+    export_dir = tmp_path / "export"
+    run_pretraining(
+        str(pkl), kg_embedding_path=str(assets / "embeddings.tsv"),
+        batch_size=4, max_steps=2, save_steps=100,
+        output_dir=str(tmp_path / "run"), compute_dtype="float32",
+        n_model_shards=2, export_hf_dir=str(export_dir),
+    )
+    sd = load_state_dict(str(export_dir))
+    # sharding pads kg vocab to a multiple of 2; export slices it back
+    assert infer_kg_vocab_size(sd) == KG_VOCAB
+    # without --vocab-file the driver defaults to the BioBERT vocab
+    assert sd["cls.predictions.text_decoder.weight"].shape[0] == 28996
+
+
+def test_transe_engine_variant(assets, tmp_path):
+    """TransE engine: 256+4 layout, relation-aware preprocessing."""
+    import json as _json
+
+    import torch as _torch
+
+    from stonkgs_tpu.api.inference import STonKGsEngine
+
+    from torch_golden import GoldenSTonKGs
+
+    # TransE checkpoint: max_position_embeddings 36 -> text 32 + 4 slots
+    cfg36 = {**TINY, "max_position_embeddings": 36}
+    golden = GoldenSTonKGs(cfg36, KG_VOCAB, 32, num_labels=2)
+    mdir = tmp_path / "transe_model"
+    mdir.mkdir()
+    _torch.save(golden.reference_state_dict(), mdir / "pytorch_model.bin")
+    (mdir / "config.json").write_text(_json.dumps({**cfg36, "num_labels": 2}))
+    # TransE embeddings: nodes + relations in one table
+    names = [f"node{i}" for i in range(110)] + [f"rel{i}" for i in range(10)]
+    rng = np.random.default_rng(1)
+    with open(tmp_path / "transe.tsv", "w") as f:
+        for name, vec in zip(names, golden.kg_vectors):
+            f.write(name + "\t" + "\t".join(str(float(v)) for v in vec) + "\n")
+
+    engine = STonKGsEngine.from_pretrained(
+        str(mdir), str(tmp_path / "transe.tsv"),
+        vocab_file=str(assets / "vocab.txt"),
+        variant="transe", compute_dtype="float32", batch_size=4,
+    )
+    assert engine.cfg.text_len == 32 and engine.cfg.entity_len == 4
+    feats = engine.preprocess(
+        ["node1", "node2"], ["node3", "node4"],
+        ["alpha activates beta", "gamma"],
+        relations=["rel1", "rel2"],
+    )
+    assert feats["input_ids"].shape == (2, 36)
+    emb = engine.embed(feats)
+    assert emb.shape == (2, TINY["hidden_size"])
+    assert np.isfinite(emb).all()
