@@ -110,9 +110,21 @@ def backbone_embeddings(
     dropout_rng: Optional[Array] = None,
     compute_dtype=jnp.float32,
     precision=None,
+    attention_impl: str = "xla",
+    prot_attention_impl: Optional[str] = None,
 ) -> Array:
     """Three-modality input embeddings (B, 4096, H), trainable projection
-    applied OUTSIDE the stop-gradient boundary (reference no_grad scope)."""
+    applied OUTSIDE the stop-gradient boundary (reference no_grad scope).
+
+    ``prot_attention_impl`` defaults to "flash" on TPU: the 3072-token
+    ProtBERT backbone is HBM-bound under dense attention (the fp32 score
+    buffers dominate); the Pallas kernel keeps them in VMEM."""
+    if prot_attention_impl is None:
+        import jax as _jax
+
+        prot_attention_impl = (
+            "flash" if _jax.default_backend() == "tpu" and deterministic
+            else attention_impl)
     chunk = cfg.kg_start_idx // 3
     B = input_ids.shape[0]
     # text: 3 maskless chunks, each with positions 0..chunk-1 (quirk)
@@ -120,7 +132,8 @@ def backbone_embeddings(
     text_emb, _ = bert.bert_model(
         params["lm_backbone"], cfg.lm, input_ids=text_in,
         deterministic=deterministic, dropout_rng=dropout_rng,
-        compute_dtype=compute_dtype, precision=precision, with_pooler=False,
+        compute_dtype=compute_dtype, precision=precision,
+        attention_impl=attention_impl, with_pooler=False,
     )
     text_emb = text_emb.reshape(B, cfg.kg_start_idx, -1)
 
@@ -131,7 +144,8 @@ def backbone_embeddings(
         params["prot_backbone"], cfg.prot,
         input_ids=input_ids[:, cfg.prot_start_idx:],
         deterministic=deterministic,
-        compute_dtype=compute_dtype, precision=precision, with_pooler=False,
+        compute_dtype=compute_dtype, precision=precision,
+        attention_impl=prot_attention_impl, with_pooler=False,
     )
     text_emb = jax.lax.stop_gradient(text_emb)
     ent_emb = jax.lax.stop_gradient(ent_emb)
@@ -152,6 +166,8 @@ def trunk_forward(
     precision=None,
     remat: bool = False,
     rand_attn: Optional[np.ndarray] = None,
+    attention_impl: str = "xla",
+    prot_attention_impl: Optional[str] = None,
 ) -> Tuple[Array, Array]:
     if not deterministic and dropout_rng is not None:
         r_back, r_trunk = jax.random.split(dropout_rng)
@@ -161,6 +177,8 @@ def trunk_forward(
         params, cfg, input_ids,
         deterministic=deterministic, dropout_rng=r_back,
         compute_dtype=compute_dtype, precision=precision,
+        attention_impl=attention_impl,
+        prot_attention_impl=prot_attention_impl,
     )
     return bigbird.bigbird_model(
         params["trunk"], cfg.trunk,
