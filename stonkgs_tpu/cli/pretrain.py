@@ -29,6 +29,12 @@ def load_preprocessed_dataset(path: str) -> Dict[str, np.ndarray]:
 
     from stonkgs_tpu.data.filters import fix_stringified_lists
 
+    if os.path.isdir(path):
+        # memory-mapped feature store (data/memmap_dataset.py)
+        from stonkgs_tpu.data.memmap_dataset import MemmapFeatureStore
+
+        store = MemmapFeatureStore(path)
+        return {k: store[k] for k in store.keys()}
     if path.endswith(".pkl") or path.endswith(".pickle"):
         df = pd.read_pickle(path)
     else:

@@ -243,6 +243,7 @@ def pretrain(
         next(it)
 
     t0 = time.perf_counter()
+    nan_streak = 0
     for step in range(start_step, run_cfg.max_steps):
         batch = next(it)
         batch = (
@@ -250,6 +251,20 @@ def pretrain(
             else {k: jnp.asarray(v) for k, v in batch.items()}
         )
         state, metrics = step_fn(state, batch)
+        # failure detection: halt on a run of non-finite losses instead of
+        # silently corrupting the parameters (SURVEY.md §5.3 — the
+        # reference has no such guard)
+        if (step + 1) % run_cfg.log_steps == 0 or step + 1 == run_cfg.max_steps:
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                nan_streak += 1
+                if nan_streak >= 3:
+                    raise FloatingPointError(
+                        f"non-finite loss for {nan_streak} consecutive "
+                        f"checks at step {step + 1}; last checkpoint is "
+                        f"recoverable from {checkpoint_dir}")
+            else:
+                nan_streak = 0
         if log_fn and ((step + 1) % run_cfg.log_steps == 0
                        or step + 1 == run_cfg.max_steps):
             m = {k: float(v) for k, v in metrics.items()}
