@@ -42,10 +42,14 @@ def _scatter_mean_add(table, idx, grads):
     """table[idx] += segment_mean(grads): batched SGD stays stable when the
     same row appears many times in one batch (sequential gensim updates are
     bounded per occurrence; a raw scatter-add would multiply the lr by the
-    occurrence count and diverge on hot nodes)."""
-    num = jnp.zeros_like(table).at[idx].add(grads)
-    den = jnp.zeros((table.shape[0], 1), jnp.float32).at[idx].add(1.0)
-    return table + num / jnp.maximum(den, 1.0)
+    occurrence count and diverge on hot nodes).
+
+    Normalizes each contribution by its index's batch count BEFORE the
+    scatter — only a (V,) counts vector is materialized, never a full
+    (V, D) temporary (that cost ~3 GB/step at 500k x 768)."""
+    counts = jnp.zeros((table.shape[0],), jnp.float32).at[idx].add(1.0)
+    per = grads / jnp.maximum(counts[idx], 1.0)[:, None]
+    return table.at[idx].add(per)
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
