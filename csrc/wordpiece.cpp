@@ -200,15 +200,53 @@ struct Tokenizer {
     ids.insert(ids.end(), out.begin(), out.end());
   }
 
-  void encode(const std::string& text, int32_t max_length,
-              int32_t* out_ids, int32_t* out_mask) const {
+  // Special tokens are matched literally before basic tokenization
+  // (HF registers them as added tokens).
+  static const std::vector<std::string>& special_tokens() {
+    static const std::vector<std::string> kSpecials = {
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"};
+    return kSpecials;
+  }
+
+  void tokenize_segment(const std::string& text,
+                        std::vector<int32_t>& ids, int32_t max_length) const {
     std::vector<std::vector<uint32_t>> words;
     basic_tokenize(text, words);
-    std::vector<int32_t> ids;
-    ids.reserve(max_length);
     for (const auto& w : words) {
       wordpiece(w, ids);
       if ((int32_t)ids.size() >= max_length - 2) break;
+    }
+  }
+
+  void encode(const std::string& text, int32_t max_length,
+              int32_t* out_ids, int32_t* out_mask) const {
+    std::vector<int32_t> ids;
+    ids.reserve(max_length);
+    // scan for literal special tokens; tokenize the spans between them
+    size_t scan = 0;
+    while (scan < text.size() && (int32_t)ids.size() < max_length - 2) {
+      size_t best = std::string::npos;
+      const std::string* best_tok = nullptr;
+      for (const auto& tok : special_tokens()) {
+        size_t found = text.find(tok, scan);
+        if (found != std::string::npos
+            && (best == std::string::npos || found < best)) {
+          best = found;
+          best_tok = &tok;
+        }
+      }
+      if (best == std::string::npos) {
+        tokenize_segment(text.substr(scan), ids, max_length);
+        break;
+      }
+      if (best > scan) {
+        tokenize_segment(text.substr(scan, best - scan), ids, max_length);
+      }
+      if ((int32_t)ids.size() < max_length - 2) {
+        int32_t id = lookup(*best_tok);
+        ids.push_back(id >= 0 ? id : unk_id);
+      }
+      scan = best + best_tok->size();
     }
     if ((int32_t)ids.size() > max_length - 2) ids.resize(max_length - 2);
     int32_t pos = 0;

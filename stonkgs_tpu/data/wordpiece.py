@@ -186,10 +186,35 @@ class BertTokenizer:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
+    SPECIAL_TOKENS = (PAD_TOKEN, UNK_TOKEN, CLS_TOKEN, SEP_TOKEN, MASK_TOKEN)
+
+    def _split_on_specials(self, text: str) -> List[str]:
+        """Split so literal special tokens survive intact (HF treats them
+        as added tokens matched before basic tokenization)."""
+        parts = [text]
+        for tok in self.SPECIAL_TOKENS:
+            nxt: List[str] = []
+            for part in parts:
+                if part in self.SPECIAL_TOKENS:
+                    nxt.append(part)
+                    continue
+                pieces = part.split(tok)
+                for i, piece in enumerate(pieces):
+                    if i:
+                        nxt.append(tok)
+                    if piece:
+                        nxt.append(piece)
+            parts = nxt
+        return parts
+
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
-        for word in self.basic.tokenize(text):
-            out.extend(self.wordpiece.tokenize(word))
+        for segment in self._split_on_specials(text):
+            if segment in self.SPECIAL_TOKENS:
+                out.append(segment)
+                continue
+            for word in self.basic.tokenize(segment):
+                out.extend(self.wordpiece.tokenize(word))
         return out
 
     def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:

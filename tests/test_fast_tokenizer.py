@@ -27,6 +27,9 @@ TEXTS = [
     "ünïcödé àccénts ēverywhere",
     "x" * 150,                 # over max_input_chars_per_word
     "p53-activation (in-vivo) [test1]",
+    "the [MASK] activates [MASK] in cells",   # literal special tokens
+    "[CLS] already has specials [SEP]",
+    "[mask] is not special but [MASK][MASK] are",
 ]
 
 

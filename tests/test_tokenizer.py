@@ -29,6 +29,8 @@ SENTENCES = [
     "   whitespace\t\tand\nnewlines   ",
     "汉字 mixed with text",
     "café naïve résumé",  # accent stripping under lowercase
+    "the [MASK] protein binds [MASK].",  # literal special tokens survive
+    "[CLS] explicit specials [SEP]",
 ]
 
 
