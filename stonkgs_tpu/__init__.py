@@ -40,6 +40,12 @@ def __getattr__(name):
     if name in ("get_stonkgs_embeddings", "preprocess_df_for_embeddings"):
         from stonkgs_tpu.api import embeddings
         return getattr(embeddings, name)
+    if name == "prepare_df":  # reference: kg_baseline_model.prepare_df
+        from stonkgs_tpu.data.artifacts import prepare_df
+        return prepare_df
+    if name == "replace_mlm_tokens":  # reference: indra_for_pretraining
+        from stonkgs_tpu.data.masking import replace_mlm_tokens
+        return replace_mlm_tokens
     if name.startswith("infer_") or name.startswith("ensure_"):
         from stonkgs_tpu.api import api
         return getattr(api, name)

@@ -30,6 +30,40 @@ import numpy as np
 IGNORE_INDEX = -100
 
 
+def replace_mlm_tokens(
+    tokens,
+    vocab_len: int,
+    mask_id: int = 103,
+    masked_tokens_percentage: float = 0.15,
+    unmasked_label_id: int = IGNORE_INDEX,
+):
+    """Single-sequence masking, signature- and RNG-stream-compatible with the
+    reference ``replace_mlm_tokens`` (``indra_for_pretraining.py:33-77``).
+
+    Uses the stdlib ``random`` module with the reference's exact call order
+    (sample -> per-position random()/randint), so seeding ``random.seed``
+    reproduces the reference's outputs bit-for-bit.  The batched pipelines
+    use the vectorized ``mask_tokens`` below instead."""
+    import random
+
+    mlm_input_tokens = list(tokens)
+    mlm_labels = [unmasked_label_id] * len(mlm_input_tokens)
+    candidate_pred_positions = random.sample(
+        range(len(mlm_input_tokens)),
+        int(len(mlm_input_tokens) * masked_tokens_percentage),
+    )
+    for pos in candidate_pred_positions:
+        if random.random() < 0.8:
+            masked_token = mask_id
+        elif random.random() < 0.5:
+            masked_token = tokens[pos]
+        else:
+            masked_token = random.randint(0, vocab_len - 1)
+        mlm_input_tokens[pos] = masked_token
+        mlm_labels[pos] = tokens[pos]
+    return mlm_input_tokens, mlm_labels
+
+
 def mask_tokens(
     tokens: np.ndarray,          # (B, L) int
     vocab_len: int,

@@ -183,3 +183,31 @@ def test_artifacts_tsv_roundtrip(tmp_path, artifacts):
     assert loaded.names == artifacts.names
     np.testing.assert_allclose(loaded.vectors, artifacts.vectors, rtol=1e-6)
     np.testing.assert_array_equal(loaded.walk_indices, artifacts.walk_indices)
+
+
+def test_replace_mlm_tokens_reference_stream():
+    """Single-sequence masking matches the reference algorithm's RNG stream."""
+    import random
+
+    from stonkgs_tpu.data.masking import replace_mlm_tokens
+
+    tokens = list(range(40))
+    random.seed(1234)
+    ids, labels = replace_mlm_tokens(tokens, vocab_len=100, mask_id=103)
+    n_pred = int(40 * 0.15)
+    sel = [i for i, l in enumerate(labels) if l != -100]
+    assert len(sel) == n_pred
+    for i in sel:
+        assert labels[i] == tokens[i]
+    for i in range(40):
+        if i not in sel:
+            assert ids[i] == tokens[i]
+    # deterministic under seeding
+    random.seed(1234)
+    ids2, labels2 = replace_mlm_tokens(tokens, vocab_len=100, mask_id=103)
+    assert ids == ids2 and labels == labels2
+    # package-root compat export
+    import stonkgs_tpu
+
+    assert stonkgs_tpu.replace_mlm_tokens is replace_mlm_tokens
+    assert callable(stonkgs_tpu.prepare_df)
