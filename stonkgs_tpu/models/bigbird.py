@@ -19,6 +19,7 @@ Per-layer random-attention plans are host-precomputed static constants
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -125,6 +126,8 @@ def bigbird_model(
     remat: bool = False,
     with_pooler: bool = True,
     rand_attn: Optional[np.ndarray] = None,  # (L, H, nb-2, r) static
+    attention_type: Optional[str] = None,    # override cfg.attention_type
+    attention_impl: str = "xla",             # dense path: "xla" | "flash"
 ) -> Tuple[Array, Optional[Array]]:
     """Full BigBirdModel forward -> (sequence_output, pooled)."""
     if not deterministic and dropout_rng is not None:
@@ -138,7 +141,11 @@ def bigbird_model(
         compute_dtype=compute_dtype,
     )
     B, S, H = hidden.shape
-    attn_type = effective_attention_type(cfg, S)
+    if attention_type is not None:
+        cfg_eff = dataclasses.replace(cfg, attention_type=attention_type)
+    else:
+        cfg_eff = cfg
+    attn_type = effective_attention_type(cfg_eff, S)
     if attention_mask is None:
         attention_mask = jnp.ones((B, S), jnp.float32)
 
@@ -180,7 +187,7 @@ def bigbird_model(
                 q, k, v, bias=attn_bias,
                 dropout_rate=cfg.attention_probs_dropout_prob,
                 dropout_rng=r_attn, deterministic=deterministic,
-                precision=precision,
+                precision=precision, impl=attention_impl,
             )
         ctx = ctx.reshape(B, S, H)
         attn_out = dense(ctx, ap["output"], precision)
