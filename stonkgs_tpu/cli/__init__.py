@@ -48,6 +48,8 @@ def main():
                    "required for full-size single-chip training)")
 @click.option("--export_hf_dir", default=None, type=str,
               help="export the final model as an HF checkpoint directory")
+@click.option("--frozen_bf16/--no-frozen_bf16", default=True,
+              help="store the frozen backbones in bf16 (halves their HBM)")
 @click.option("--local_rank", default=-1, type=int,
               help="THIS PARAMETER IS IGNORED")
 def pretrain(**kw):

@@ -68,6 +68,7 @@ def run_pretraining(
     n_model_shards: int = 1,
     compute_dtype: str = "bfloat16",
     remat: bool = True,
+    frozen_bf16: bool = True,
     export_hf_dir: Optional[str] = None,
     local_rank: int = -1,  # accepted and ignored, like the reference CLI
     seed: int = 0,
@@ -142,6 +143,15 @@ def run_pretraining(
     if kg_vectors is not None:
         params["kg_backbone"] = stonkgs.build_kg_table(
             params["lm_backbone"], cfg.bert, kg_vectors)
+
+    if frozen_bf16 and compute_dtype == "bfloat16":
+        # frozen backbones are read-only: storing them in bf16 halves their
+        # HBM footprint (fits batch 128+ on one v5e chip) with no effect on
+        # the bf16 compute path
+        for key in ("lm_backbone", "kg_backbone"):
+            params[key] = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.bfloat16)
+                if x.dtype == np.float32 else x, params[key])
 
     mesh = None
     if n_model_shards > 1 or len(jax.devices()) > 1:
