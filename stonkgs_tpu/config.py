@@ -169,6 +169,7 @@ class BigBirdConfig:
     block_size: int = 64
     num_random_blocks: int = 3
     use_bias: bool = True
+    rescale_embeddings: bool = False
 
     @property
     def head_dim(self) -> int:

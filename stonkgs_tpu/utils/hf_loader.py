@@ -188,6 +188,78 @@ def protstonkgs_params_from_state_dict(
     return params
 
 
+def load_protstonkgs_pretrained(
+    model_dir: str,
+    kg_embedding_path: str,
+    kg_random_walk_path: str,
+    *,
+    sep_id: int = 66,    # BigBird tokenizer special ids
+    mask_id: int = 67,
+    unk_id: int = 100,
+):
+    """Load a ProtSTonKGs HF checkpoint (e.g. ``stonkgs/protstonkgs``) +
+    node2vec artifacts -> (cfg, params) ready for the model functions.
+
+    Reference: ``ProtSTonKGsForPreTraining.from_default_pretrained``
+    (``protstonkgs_model.py:214-218``)."""
+    from stonkgs_tpu.config import BertConfig, BigBirdConfig, ProtSTonKGsConfig
+    from stonkgs_tpu.data.artifacts import load_kg_artifacts
+    from stonkgs_tpu.models import protstonkgs
+
+    sd = load_state_dict(model_dir)
+    hf_cfg = load_config(model_dir)
+    trunk = BigBirdConfig.from_hf_dict(hf_cfg)
+    kg_vocab = int(np.asarray(
+        sd["cls.predictions.entity_decoder.weight"]).shape[0])
+    prot_vocab = int(np.asarray(
+        sd["cls.predictions.prot_decoder.weight"]).shape[0])
+    lm_vocab = int(np.asarray(
+        sd["cls.predictions.text_decoder.weight"]).shape[0])
+    prot_hidden = int(np.asarray(
+        sd["prot_to_lm_hidden_linear.weight"]).shape[1])
+    n_prot_layers = max(
+        int(k.split(".")[3]) + 1 for k in sd
+        if k.startswith("prot_backbone.encoder.layer."))
+    prot_cfg = BertConfig(
+        vocab_size=prot_vocab, hidden_size=prot_hidden,
+        num_hidden_layers=n_prot_layers,
+        num_attention_heads=max(prot_hidden // 64, 1),
+        intermediate_size=int(np.asarray(
+            sd["prot_backbone.encoder.layer.0.intermediate.dense.weight"]
+        ).shape[0]),
+        max_position_embeddings=int(np.asarray(
+            sd["prot_backbone.embeddings.position_embeddings.weight"]).shape[0]),
+    )
+    lm_hidden = int(np.asarray(
+        sd["lm_backbone.embeddings.word_embeddings.weight"]).shape[1])
+    n_lm_layers = max(
+        int(k.split(".")[3]) + 1 for k in sd
+        if k.startswith("lm_backbone.encoder.layer."))
+    lm_cfg = BertConfig(
+        vocab_size=lm_vocab,
+        hidden_size=lm_hidden,
+        num_hidden_layers=n_lm_layers,
+        num_attention_heads=max(lm_hidden // 64, 1),
+        intermediate_size=int(np.asarray(
+            sd["lm_backbone.encoder.layer.0.intermediate.dense.weight"]
+        ).shape[0]),
+        max_position_embeddings=int(np.asarray(
+            sd["lm_backbone.embeddings.position_embeddings.weight"]).shape[0]),
+    )
+    cfg = ProtSTonKGsConfig(
+        trunk=trunk, lm=lm_cfg, prot=prot_cfg,
+        lm_vocab_size=lm_vocab, kg_vocab_size=kg_vocab,
+        prot_vocab_size=prot_vocab,
+        sep_id=sep_id, mask_id=mask_id, unk_id=unk_id,
+        num_labels=hf_cfg.get("num_labels"),
+    )
+    params = protstonkgs_params_from_state_dict(sd, cfg)
+    artifacts = load_kg_artifacts(kg_embedding_path, kg_random_walk_path)
+    params["kg_backbone"] = protstonkgs.build_kg_table(
+        params["lm_backbone"], cfg, artifacts.vectors)
+    return cfg, params
+
+
 def infer_kg_vocab_size(sd: Mapping) -> int:
     """kg_vocab_size from the entity decoder shape (rows = kg vocab)."""
     return int(np.asarray(sd["cls.predictions.entity_decoder.weight"]).shape[0])

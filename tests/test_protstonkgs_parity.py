@@ -136,3 +136,35 @@ def test_loss_paths_agree(golden, jax_model, rng):
         + ce(g_prot.reshape(-1, PROT["vocab_size"]), torch.tensor(prot_l).reshape(-1))
     ).item()
     assert abs(float(dense_loss) - torch_loss) < 1e-4
+
+
+def test_load_protstonkgs_pretrained(golden, tmp_path):
+    """HF-format ProtSTonKGs checkpoint loads to config + params."""
+    import json
+
+    import torch
+
+    from stonkgs_tpu.data.artifacts import KGArtifacts, save_kg_artifacts
+    from stonkgs_tpu.utils.hf_loader import load_protstonkgs_pretrained
+
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    torch.save(golden.reference_state_dict(), mdir / "pytorch_model.bin")
+    (mdir / "config.json").write_text(json.dumps({
+        **TRUNK, "num_labels": 3}))
+    rng = np.random.default_rng(0)
+    names = [f"node{i}" for i in range(KG_VOCAB)]
+    art = KGArtifacts(
+        names=names, name_to_idx={n: i for i, n in enumerate(names)},
+        vectors=golden.kg_vectors,
+        walk_indices=rng.integers(0, KG_VOCAB, (KG_VOCAB, 3), dtype=np.int32),
+        rw_len=3)
+    save_kg_artifacts(art, tmp_path / "e.tsv", tmp_path / "w.tsv")
+    cfg, params = load_protstonkgs_pretrained(
+        str(mdir), str(tmp_path / "e.tsv"), str(tmp_path / "w.tsv"),
+        sep_id=SPECIAL[0], mask_id=SPECIAL[1], unk_id=SPECIAL[2])
+    assert cfg.kg_vocab_size == KG_VOCAB
+    assert cfg.prot_vocab_size == PROT["vocab_size"]
+    assert cfg.prot.hidden_size == PROT["hidden_size"]
+    assert cfg.prot.num_hidden_layers == PROT["num_hidden_layers"]
+    assert params["kg_backbone"].shape == (KG_VOCAB + 3, TRUNK["hidden_size"])
