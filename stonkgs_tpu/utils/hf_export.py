@@ -96,6 +96,64 @@ def stonkgs_state_dict(params: Mapping, cfg: STonKGsConfig) -> dict:
     return sd
 
 
+def bigbird_state_dict(params: Mapping, prefix: str = "") -> dict:
+    """Stacked BigBird param tree -> HF BigBirdModel state dict.
+
+    Same layer layout as BERT; the pooler is a bare linear
+    (``pooler.weight``, no ``.dense``)."""
+    sd = bert_state_dict(params, prefix)
+    if prefix + "pooler.dense.weight" in sd:
+        sd[prefix + "pooler.weight"] = sd.pop(prefix + "pooler.dense.weight")
+        sd[prefix + "pooler.bias"] = sd.pop(prefix + "pooler.dense.bias")
+    return sd
+
+
+def protstonkgs_state_dict(params: Mapping, cfg) -> dict:
+    """Full ProtSTonKGs params -> reference-layout state dict."""
+    sd = {}
+    sd.update(bigbird_state_dict(params["trunk"], "bert."))
+    sd.update(bert_state_dict(params["lm_backbone"], "lm_backbone."))
+    sd.update(bert_state_dict(params["prot_backbone"], "prot_backbone."))
+    _dense(sd, "prot_to_lm_hidden_linear", params["prot_projection"])
+    p = params["cls"]["predictions"]
+    _dense(sd, "cls.predictions.transform.dense", p["transform"]["dense"])
+    _ln(sd, "cls.predictions.transform.LayerNorm", p["transform"]["layer_norm"])
+    vocab_sizes = {"text": cfg.lm_vocab_size, "entity": cfg.kg_vocab_size,
+                   "prot": cfg.prot_vocab_size}
+    for name, v in vocab_sizes.items():
+        sd[f"cls.predictions.{name}_decoder.weight"] = _t(
+            p[f"{name}_decoder"]["kernel"])[:, :v].T
+        sd[f"cls.predictions.{name}_bias"] = _t(p[f"{name}_bias"])[:v]
+    if "classifier" in params:
+        _dense(sd, "classifier", params["classifier"])
+    return sd
+
+
+def save_protstonkgs_pretrained(
+    params: Mapping, cfg, output_dir: str
+) -> str:
+    """Write a ProtSTonKGs HF checkpoint directory."""
+    import dataclasses as _dc
+    import torch
+
+    os.makedirs(output_dir, exist_ok=True)
+    sd = protstonkgs_state_dict(params, cfg)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()},
+               os.path.join(output_dir, "pytorch_model.bin"))
+    config = {**_dc.asdict(cfg.trunk),
+              "architectures": ["ProtSTonKGsForPreTraining"],
+              "model_type": "big_bird",
+              "lm_vocab_size": cfg.lm_vocab_size,
+              "kg_vocab_size": cfg.kg_vocab_size,
+              "prot_vocab_size": cfg.prot_vocab_size}
+    if cfg.num_labels is not None:
+        config["num_labels"] = cfg.num_labels
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    return output_dir
+
+
 def save_pretrained(
     params: Mapping,
     cfg: STonKGsConfig,

@@ -92,3 +92,52 @@ def test_state_dict_loads_into_torch_bert(tmp_path):
     missing, unexpected = model.load_state_dict(trunk_sd, strict=False)
     assert not unexpected, unexpected
     assert not [m for m in missing if "position_ids" not in m], missing
+
+
+def test_protstonkgs_export_roundtrip(tmp_path):
+    """ProtSTonKGs export -> loader round trip preserves weights."""
+    import jax
+
+    from stonkgs_tpu.config import BigBirdConfig, ProtSTonKGsConfig
+    from stonkgs_tpu.data.artifacts import KGArtifacts, save_kg_artifacts
+    from stonkgs_tpu.models import protstonkgs
+    from stonkgs_tpu.utils.hf_export import save_protstonkgs_pretrained
+    from stonkgs_tpu.utils.hf_loader import load_protstonkgs_pretrained
+
+    cfg = ProtSTonKGsConfig(
+        trunk=BigBirdConfig(vocab_size=80, hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            max_position_embeddings=64, block_size=4,
+                            num_random_blocks=1),
+        lm=BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=16),
+        prot=BertConfig(vocab_size=30, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=32),
+        lm_vocab_size=128, kg_vocab_size=120, prot_vocab_size=30,
+        kg_start_idx=12, prot_start_idx=16, seq_len=48,
+        sep_id=102, mask_id=103, unk_id=100,
+    )
+    params = protstonkgs.init_protstonkgs_params(jax.random.PRNGKey(0), cfg)
+    out = save_protstonkgs_pretrained(params, cfg, str(tmp_path / "ckpt"))
+
+    rng = np.random.default_rng(0)
+    names = [f"node{i}" for i in range(120)]
+    art = KGArtifacts(names, {n: i for i, n in enumerate(names)},
+                      rng.normal(size=(120, 32)).astype(np.float32),
+                      rng.integers(0, 120, (120, 3), dtype=np.int32), 3)
+    save_kg_artifacts(art, tmp_path / "e.tsv", tmp_path / "w.tsv")
+    cfg2, params2 = load_protstonkgs_pretrained(
+        out, str(tmp_path / "e.tsv"), str(tmp_path / "w.tsv"))
+    assert cfg2.kg_vocab_size == 120 and cfg2.prot_vocab_size == 30
+    np.testing.assert_allclose(
+        np.asarray(params["prot_projection"]["kernel"]),
+        np.asarray(params2["prot_projection"]["kernel"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["trunk"]["pooler"]["kernel"]),
+        np.asarray(params2["trunk"]["pooler"]["kernel"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["cls"]["predictions"]["prot_decoder"]["kernel"]),
+        np.asarray(params2["cls"]["predictions"]["prot_decoder"]["kernel"]),
+        atol=1e-6)
