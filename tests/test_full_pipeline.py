@@ -1,0 +1,137 @@
+"""Whole-framework integration: INDRA JSON to inference in one flow.
+
+Mirrors the production workflow end-to-end on a synthetic corpus:
+extract -> node2vec -> preprocess -> pretrain -> HF export -> engine load
+-> fine-tune CV -> infer probabilities.
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+# vocab must exceed the special KG ids 100/102/103 (like BioBERT's 28996)
+VOCAB = (["[PAD]", "[unused0]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+          "gene", "g", "activates", "inhibits", "pathway", "signal",
+          "##1", "##2", "##3", "##4", "##5", "##6", "##7", "##8", "##9",
+          "##0", "in", "cells", "the", "of"]
+         + [f"[unused{i}]" for i in range(1, 85)])
+
+
+def _statements(n=400, n_genes=130):
+    rng = np.random.default_rng(0)
+    stmts = []
+    for k in range(n):
+        a, b = int(rng.integers(0, n_genes)), int(rng.integers(0, n_genes))
+        if a == b:
+            b = (b + 1) % n_genes
+        # Associations stay in the pre-training set (not polarity-binarized)
+        stype = ["Activation", "Inhibition", "Phosphorylation",
+                 "Association", "Association"][k % 5]
+        verb = "activates" if stype != "Inhibition" else "inhibits"
+        ev = [{"text": f"the gene g{a} {verb} g{b} in cells {k}",
+               "pmid": str(k),
+               **({"context": {"species": {"name": ["human", "mouse"][k % 2]}}}
+                  if k % 5 == 0 else {})}]
+        agent = lambda i: {"name": f"G{i}", "db_refs": {"HGNC": str(i)}}  # noqa: E731
+        if stype == "Phosphorylation":
+            stmts.append({"type": stype, "enz": agent(a), "sub": agent(b),
+                          "belief": 0.9, "evidence": ev})
+        elif stype == "Association":
+            stmts.append({"type": stype, "subj": agent(a), "obj": agent(b),
+                          "belief": 0.7, "evidence": ev})
+        else:
+            stmts.append({"type": stype, "subj": agent(a), "obj": agent(b),
+                          "belief": 0.8, "evidence": ev})
+    return stmts
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    from stonkgs_tpu.api.inference import STonKGsEngine
+    from stonkgs_tpu.cli.pretrain import run_pretraining
+    from stonkgs_tpu.data.artifacts import load_kg_artifacts
+    from stonkgs_tpu.data.indra_extraction import read_indra_triples
+    from stonkgs_tpu.data.preprocessing import preprocess_for_pretraining
+    from stonkgs_tpu.data.wordpiece import BertTokenizer
+    from stonkgs_tpu.models.node2vec import run_node2vec
+    from stonkgs_tpu.train.finetuning import FinetuneConfig, run_sequence_classification_cv
+    from stonkgs_tpu.data.preprocessing import preprocess_for_finetuning
+
+    # 1. extraction: statements JSONL -> KG + task TSVs
+    raw = tmp_path / "stmts.jsonl"
+    with open(raw, "w") as f:
+        for s in _statements():
+            f.write(json.dumps(s) + "\n")
+    out = read_indra_triples(str(raw), str(tmp_path / "kg"))
+    pre_df = pd.read_csv(out["pretraining"], sep="\t")
+    assert len(pre_df) > 100
+
+    # 2. node2vec over the pre-training triples (small dims for speed)
+    result, walks, graph = run_node2vec(
+        pre_df, dimensions=32, walk_length=7, epochs=2, seed=0,
+        output_dir=str(tmp_path),
+    )
+    artifacts = load_kg_artifacts(
+        tmp_path / "embeddings_best_model.tsv",
+        tmp_path / "random_walks_best_model.tsv")
+    assert artifacts.n_entities > 100  # enough for the 100/102/103 quirk
+
+    # 3. preprocess for pre-training
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(VOCAB) + "\n")
+    tok = BertTokenizer(str(vocab_file))
+    feats = preprocess_for_pretraining(
+        pre_df["source"].to_numpy(object), pre_df["target"].to_numpy(object),
+        pre_df["evidence"].tolist(), artifacts, tok, seed=0)
+    pkl = tmp_path / "pre.pkl"
+    pd.DataFrame({k: list(v) for k, v in feats.items()}).to_pickle(pkl)
+
+    # 4. pretrain a few steps and export an HF checkpoint
+    export_dir = tmp_path / "export"
+    run_pretraining(
+        str(pkl),
+        kg_embedding_path=str(tmp_path / "embeddings_best_model.tsv"),
+        vocab_file=str(vocab_file),
+        batch_size=8, max_steps=4, save_steps=100,
+        output_dir=str(tmp_path / "run"), compute_dtype="float32",
+        export_hf_dir=str(export_dir),
+    )
+
+    # 5. engine load + fine-tune on the species task
+    engine = STonKGsEngine.from_pretrained(
+        str(export_dir),
+        str(tmp_path / "embeddings_best_model.tsv"),
+        str(tmp_path / "random_walks_best_model.tsv"),
+        vocab_file=str(vocab_file),
+        compute_dtype="float32", batch_size=8,
+    )
+    species_df = pd.read_csv(out["species"], sep="\t")
+    assert set(species_df["class"]) == {"human", "mouse"}
+    ft = preprocess_for_finetuning(
+        species_df["source"].to_numpy(object),
+        species_df["target"].to_numpy(object),
+        species_df["evidence"].tolist(),
+        species_df["class"].to_numpy(object),
+        engine.artifacts, engine.tokenizer)
+    labels = ft.pop("labels")
+    result = run_sequence_classification_cv(
+        ft, labels, engine.params, engine.cfg,
+        FinetuneConfig(epochs=2, lr=1e-3, batch_size=8, cv=2,
+                       compute_dtype="float32", eval_batch_size=16),
+        task_name="species", output_dir=str(tmp_path / "ft"),
+    )
+    assert 0.0 <= result["f1_score_mean"] <= 1.0
+
+    # 6. inference: probabilities over new rows
+    rows_src = species_df["source"].to_numpy(object)[:3]
+    rows_tgt = species_df["target"].to_numpy(object)[:3]
+    infer_feats = engine.preprocess(
+        rows_src, rows_tgt, species_df["evidence"].tolist()[:3],
+        apply_masking=False)
+    emb = engine.embed(infer_feats)
+    assert emb.shape == (3, 32)
+    assert np.isfinite(emb).all()
