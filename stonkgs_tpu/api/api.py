@@ -234,7 +234,10 @@ def _prepare_df(data: InferenceHint):
         raise TypeError(f"source df has invalid type: {type(data)}")
     if isinstance(data[0], (list, tuple)):
         return pd.DataFrame(data, columns=["source", "target", "evidence"])
-    if hasattr(data[0], "to_json"):  # indra.statements.Statement duck-type
+    if hasattr(data[0], "to_json") or (
+            isinstance(data[0], dict) and "type" in data[0]):
+        # indra.statements.Statement objects OR raw statement-JSON dicts
+        # (e.g. json.load-ed EMMAA dumps)
         return _convert_indra_statements(data)
     raise TypeError(f"row has invalid type: {type(data[0])}")
 

@@ -70,11 +70,14 @@ def run_emmaa_demo(url: str = VT_URL):
         writer.writerow(first)
         writer.writerows(it)
 
-    df = pd.read_csv(results_path, usecols=[0, 1, 6], sep="\t")
-    curate_hashes = select_curation_candidates(df)
+    # stmt_hash must stay a string: pandas would otherwise parse numeric
+    # hash strings to int64 and the set membership below would never match
+    df = pd.read_csv(results_path, usecols=[0, 1, 6], sep="\t",
+                     dtype={"stmt_hash": str})
+    curate_hashes = {str(h) for h in select_curation_candidates(df)}
     logger.info("Got %d statements for curation", len(curate_hashes))
     export = [s for s in statements
-              if s.get("matches_hash", None) in curate_hashes]
+              if str(s.get("matches_hash")) in curate_hashes]
     with curation_path.open("wb") as f:
         pickle.dump(export, f)
 

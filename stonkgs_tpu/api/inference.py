@@ -149,9 +149,21 @@ class STonKGsEngine:
         from stonkgs_tpu.data.transe import TransEArtifacts
 
         if isinstance(self.artifacts, TransEArtifacts):
-            from stonkgs_tpu.data.transe import preprocess_transe_for_finetuning
+            from stonkgs_tpu.data.transe import (
+                assemble_transe_part, preprocess_transe_for_finetuning,
+            )
 
             assert relations is not None, "TransE preprocessing needs relations"
+            # inference requires 1:1 row alignment — refuse silent drops
+            _, keep = assemble_transe_part(
+                list(sources), list(relations), list(targets),
+                self.artifacts, self.cfg.sep_id)
+            if not keep.all():
+                bad = [i for i, k in enumerate(keep) if not k]
+                raise ValueError(
+                    f"rows {bad[:10]}{'...' if len(bad) > 10 else ''} contain "
+                    "head/relation/tail names missing from the TransE "
+                    "embeddings; filter them out before inference")
             feats = preprocess_transe_for_finetuning(
                 list(sources), list(relations), list(targets),
                 list(evidences), np.zeros(len(evidences), np.int64),
@@ -171,41 +183,28 @@ class STonKGsEngine:
     # -- batched forwards -------------------------------------------------
 
     def _batches(self, features: Dict[str, np.ndarray]):
-        n = len(features["input_ids"])
-        bs = self.batch_size
-        for i in range(0, n, bs):
-            chunk = {k: features[k][i: i + bs] for k in BATCH_KEYS}
-            pad = bs - len(chunk["input_ids"])
-            if pad > 0:
-                chunk = {
-                    k: np.concatenate(
-                        [v, np.repeat(v[-1:], pad, axis=0)], axis=0
-                    ) for k, v in chunk.items()
-                }
-            yield chunk, min(bs, n - i)
+        from stonkgs_tpu.utils.batching import iter_padded_batches
+
+        yield from iter_padded_batches(features, BATCH_KEYS, self.batch_size)
 
     def embed(self, features: Dict[str, np.ndarray]) -> np.ndarray:
         """Pooled [CLS] embeddings, (N, hidden) float32.
 
         Batched replacement for ``get_stonkgs_embeddings``'s per-row loop."""
-        outs = []
-        for chunk, n_valid in self._batches(features):
-            pooled = self._pooler(
-                self.params, batch={k: jnp.asarray(v) for k, v in chunk.items()}
-            )
-            outs.append(np.asarray(pooled[:n_valid], np.float32))
-        return np.concatenate(outs, axis=0)
+        from stonkgs_tpu.utils.batching import batched_apply
+
+        return batched_apply(
+            lambda chunk: self._pooler(self.params, batch=chunk),
+            features, BATCH_KEYS, self.batch_size)
 
     def logits(self, features: Dict[str, np.ndarray]) -> np.ndarray:
         """Classification logits, (N, num_labels) float32."""
         assert "classifier" in self.params, "no classification head loaded"
-        outs = []
-        for chunk, n_valid in self._batches(features):
-            lg = self._classify(
-                self.params, batch={k: jnp.asarray(v) for k, v in chunk.items()}
-            )
-            outs.append(np.asarray(lg[:n_valid], np.float32))
-        return np.concatenate(outs, axis=0)
+        from stonkgs_tpu.utils.batching import batched_apply
+
+        return batched_apply(
+            lambda chunk: self._classify(self.params, batch=chunk),
+            features, BATCH_KEYS, self.batch_size)
 
     def predict_proba(self, features: Dict[str, np.ndarray]) -> np.ndarray:
         lg = self.logits(features)

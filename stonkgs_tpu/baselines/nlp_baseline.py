@@ -108,21 +108,14 @@ def train_nlp_baseline(
 
 def predict(params, cfg, features, *, batch_size: int = 64,
             compute_dtype=jnp.float32) -> np.ndarray:
+    from stonkgs_tpu.utils.batching import batched_apply
+
     fn = jax.jit(partial(classification_logits, cfg=cfg,
                          compute_dtype=compute_dtype))
-    keys = ("input_ids", "attention_mask")
-    outs = []
-    n = len(features["input_ids"])
-    for i in range(0, n, batch_size):
-        chunk = {k: features[k][i: i + batch_size] for k in keys}
-        valid = len(chunk["input_ids"])
-        if valid < batch_size:
-            chunk = {k: np.concatenate(
-                [v, np.repeat(v[-1:], batch_size - valid, 0)], 0)
-                for k, v in chunk.items()}
-        lg = fn(params, batch={k: jnp.asarray(v) for k, v in chunk.items()})
-        outs.append(np.asarray(lg[:valid], np.float32))
-    return np.concatenate(outs).argmax(axis=1)
+    logits = batched_apply(
+        lambda chunk: fn(params, batch=chunk), features,
+        ("input_ids", "attention_mask"), batch_size)
+    return logits.argmax(axis=1)
 
 
 def run_nlp_baseline_cv(

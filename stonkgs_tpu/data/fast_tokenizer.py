@@ -75,6 +75,8 @@ class FastBertTokenizer:
         lib = _load_lib()
         self._py = None
         self._handle = None
+        self._vocab_file = vocab_file
+        self._do_lower_case = do_lower_case
         self.n_threads = n_threads or min(os.cpu_count() or 1, 16)
         if lib is not None:
             self._lib = lib
@@ -91,9 +93,16 @@ class FastBertTokenizer:
         self.mask_id = mask if mask >= 0 else None
 
     def __getattr__(self, name):
-        if self._py is not None:
-            return getattr(self._py, name)
-        raise AttributeError(name)
+        # Methods the C ABI doesn't expose (tokenize, convert_tokens_to_ids,
+        # vocab, ...) delegate to a lazily-built Python tokenizer so the
+        # surface matches data.wordpiece.BertTokenizer in BOTH modes.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if self._py is None:
+            object.__setattr__(
+                self, "_py",
+                PyBertTokenizer(self._vocab_file, self._do_lower_case))
+        return getattr(self._py, name)
 
     def __del__(self):
         h = getattr(self, "_handle", None)

@@ -58,18 +58,23 @@ def add_protein_sequences_per_task(
 
     input_df = pd.read_csv(input_file, sep="\t", index_col=None)
     begin_cn = 0
+    header_written = False
     if os.path.exists(output_file):
-        result_df = pd.read_csv(output_file, sep="\t", index_col=None)
-        if len(result_df):
-            last = result_df.iloc[-1][["source_id", "target_id", "evidence"]]
-            match = input_df.index[
-                (input_df["source_id"] == last["source_id"])
-                & (input_df["target_id"] == last["target_id"])
-                & (input_df["evidence"] == last["evidence"])
-            ]
-            if len(match):
-                begin_cn = int(match[0] // chunk_size) + 1
-                logger.info("resuming from batch %d", begin_cn)
+        if os.path.getsize(output_file) == 0:
+            os.remove(output_file)  # stale empty file: start fresh
+        else:
+            header_written = True
+            result_df = pd.read_csv(output_file, sep="\t", index_col=None)
+            if len(result_df):
+                last = result_df.iloc[-1][["source_id", "target_id", "evidence"]]
+                match = input_df.index[
+                    (input_df["source_id"] == last["source_id"])
+                    & (input_df["target_id"] == last["target_id"])
+                    & (input_df["evidence"] == last["evidence"])
+                ]
+                if len(match):
+                    begin_cn = int(match[0] // chunk_size) + 1
+                    logger.info("resuming from batch %d", begin_cn)
 
     cn = len(input_df) // chunk_size + 1
     for i in range(begin_cn, cn):
@@ -88,7 +93,8 @@ def add_protein_sequences_per_task(
         partial = pd.DataFrame(
             rows, columns=list(input_df.columns) + ["source_prot", "target_prot"])
         partial.to_csv(output_file, sep="\t", index=False, mode="a",
-                       header=(i == 0))
+                       header=not header_written)
+        header_written = True
 
     result_df = pd.read_csv(output_file, sep="\t", index_col=None)
     logger.info("%d/%d text-triple pairs have protein sequences for both nodes",

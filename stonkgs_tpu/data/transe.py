@@ -177,8 +177,13 @@ def transe_pretraining_to_tsv(
     import pandas as pd
 
     done = 0
+    header_written = False
     if os.path.exists(output_path):
-        done = len(pd.read_csv(output_path, sep="\t", usecols=[0]))
+        if os.path.getsize(output_path) > 0:
+            header_written = True
+            done = len(pd.read_csv(output_path, sep="\t", usecols=[0]))
+        else:
+            os.remove(output_path)  # stale empty file: start fresh
     total_skips = 0
     for start in range(done, len(df), chunk_size):
         chunk = df.iloc[start: start + chunk_size]
@@ -191,8 +196,7 @@ def transe_pretraining_to_tsv(
         )
         total_skips += skips
         out_df = pd.DataFrame({k: list(v) for k, v in feats.items()})
-        out_df.to_csv(
-            output_path, sep="\t", index=False, mode="a",
-            header=not os.path.exists(output_path) or start == 0 and done == 0,
-        )
+        out_df.to_csv(output_path, sep="\t", index=False, mode="a",
+                      header=not header_written)
+        header_written = True
     return total_skips

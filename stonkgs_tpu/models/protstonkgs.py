@@ -127,11 +127,15 @@ def backbone_embeddings(
             else attention_impl)
     chunk = cfg.kg_start_idx // 3
     B = input_ids.shape[0]
+    if not deterministic and dropout_rng is not None:
+        r_lm, r_prot = jax.random.split(dropout_rng)
+    else:
+        r_lm = r_prot = None
     # text: 3 maskless chunks, each with positions 0..chunk-1 (quirk)
     text_in = input_ids[:, : cfg.kg_start_idx].reshape(B * 3, chunk)
     text_emb, _ = bert.bert_model(
         params["lm_backbone"], cfg.lm, input_ids=text_in,
-        deterministic=deterministic, dropout_rng=dropout_rng,
+        deterministic=deterministic, dropout_rng=r_lm,
         compute_dtype=compute_dtype, precision=precision,
         attention_impl=attention_impl, with_pooler=False,
     )
@@ -140,10 +144,12 @@ def backbone_embeddings(
     ent_ids = input_ids[:, cfg.kg_start_idx: cfg.prot_start_idx]
     ent_emb = jnp.take(params["kg_backbone"].astype(compute_dtype), ent_ids, axis=0)
 
+    # the prot backbone runs in train mode too (reference keeps the whole
+    # module in .train() during training, so backbone dropout is active)
     prot_out, _ = bert.bert_model(
         params["prot_backbone"], cfg.prot,
         input_ids=input_ids[:, cfg.prot_start_idx:],
-        deterministic=deterministic,
+        deterministic=deterministic, dropout_rng=r_prot,
         compute_dtype=compute_dtype, precision=precision,
         attention_impl=prot_attention_impl, with_pooler=False,
     )

@@ -169,24 +169,15 @@ def predict(
     logits_fn=None,
 ) -> np.ndarray:
     """Batched logits over a feature set (padded final batch)."""
+    from stonkgs_tpu.utils.batching import batched_apply
+
     fn = jax.jit(partial(
         logits_fn if logits_fn is not None else stonkgs.classification_logits,
         cfg=cfg, compute_dtype=compute_dtype,
     ))
-    n = len(features["input_ids"])
-    outs = []
-    keys = tuple(k for k in ("input_ids", "attention_mask", "token_type_ids")
-                 if k in features)
-    for i in range(0, n, batch_size):
-        chunk = {k: features[k][i: i + batch_size] for k in keys}
-        valid = len(chunk["input_ids"])
-        if valid < batch_size:
-            chunk = {k: np.concatenate(
-                [v, np.repeat(v[-1:], batch_size - valid, 0)], 0)
-                for k, v in chunk.items()}
-        lg = fn(params, batch={k: jnp.asarray(v) for k, v in chunk.items()})
-        outs.append(np.asarray(lg[:valid], np.float32))
-    return np.concatenate(outs, 0)
+    return batched_apply(
+        lambda chunk: fn(params, batch=chunk), features,
+        ("input_ids", "attention_mask", "token_type_ids"), batch_size)
 
 
 def run_sequence_classification_cv(

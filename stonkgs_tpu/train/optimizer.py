@@ -60,8 +60,13 @@ def make_optimizer(
     steps = []
     if max_grad_norm is not None:
         steps.append(optax.clip_by_global_norm(max_grad_norm))
+    # HF Trainer excludes biases and LayerNorm weights from weight decay
+    # (no-decay group ['bias', 'LayerNorm.weight']); 1-D leaves cover both.
+    decay_mask = lambda params: jax.tree.map(  # noqa: E731
+        lambda p: getattr(p, "ndim", 0) >= 2, params)
     steps.append(
-        optax.adamw(schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+        optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay, mask=decay_mask)
     )
     tx = optax.chain(*steps)
     return optax.multi_transform(

@@ -167,14 +167,24 @@ def data_iterator(
     batch_size: int,
     *,
     seed: int = 0,
-    drop_last: bool = True,
+    skip_steps: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Shuffling epoch iterator over preprocessed feature arrays."""
+    """Shuffling epoch iterator over preprocessed feature arrays.
+
+    ``skip_steps`` fast-forwards deterministically for checkpoint resume
+    WITHOUT materializing the skipped batches: whole epochs advance by
+    drawing (and discarding) the epoch permutation only."""
     n = len(features["input_ids"])
     rng = np.random.default_rng(seed)
+    steps_per_epoch = max((n - batch_size) // batch_size + 1, 0)
+    while skip_steps >= steps_per_epoch > 0:
+        rng.permutation(n)
+        skip_steps -= steps_per_epoch
     while True:
         perm = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        start = skip_steps * batch_size
+        skip_steps = 0
+        for i in range(start, n - batch_size + 1, batch_size):
             idx = perm[i: i + batch_size]
             yield {k: v[idx] for k, v in features.items()}
 
@@ -237,10 +247,10 @@ def pretrain(
         mesh=mesh,
     )
 
-    it = data_iterator(features, run_cfg.batch_size, seed=run_cfg.seed)
-    # fast-forward the iterator on resume for deterministic data order
-    for _ in range(start_step):
-        next(it)
+    # deterministic data order across resume: fast-forward without
+    # materializing the skipped batches
+    it = data_iterator(features, run_cfg.batch_size, seed=run_cfg.seed,
+                       skip_steps=start_step)
 
     t0 = time.perf_counter()
     nan_streak = 0
