@@ -168,3 +168,64 @@ def test_load_protstonkgs_pretrained(golden, tmp_path):
     assert cfg.prot.hidden_size == PROT["hidden_size"]
     assert cfg.prot.num_hidden_layers == PROT["num_hidden_layers"]
     assert params["kg_backbone"].shape == (KG_VOCAB + 3, TRUNK["hidden_size"])
+
+
+def test_prot_engine_end_to_end(golden, tmp_path):
+    """ProtSTonKGsEngine: checkpoint + artifacts + tokenizers -> embeddings."""
+    import json
+
+    import torch
+
+    from stonkgs_tpu.api.prot_inference import ProtSTonKGsEngine
+    from stonkgs_tpu.data.artifacts import KGArtifacts, save_kg_artifacts
+
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    torch.save(golden.reference_state_dict(), mdir / "pytorch_model.bin")
+    (mdir / "config.json").write_text(json.dumps({**TRUNK, "num_labels": 3}))
+    rng = np.random.default_rng(0)
+    names = [f"node{i}" for i in range(KG_VOCAB)]
+    art = KGArtifacts(
+        names=names, name_to_idx={n: i for i, n in enumerate(names)},
+        vectors=golden.kg_vectors,
+        # rw_len chosen so 2*rw+2 == entity_len (8)
+        walk_indices=rng.integers(0, KG_VOCAB, (KG_VOCAB, 3), dtype=np.int32),
+        rw_len=3)
+    save_kg_artifacts(art, tmp_path / "e.tsv", tmp_path / "w.tsv")
+    lm_vocab = tmp_path / "lm.txt"
+    lm_vocab.write_text("\n".join(
+        ["[PAD]", "[unused0]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "alpha", "beta", "binds"]) + "\n")
+    prot_vocab = tmp_path / "prot.txt"
+    prot_vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "A", "C", "G"]) + "\n")
+
+    engine = ProtSTonKGsEngine.from_pretrained(
+        str(mdir), str(tmp_path / "e.tsv"), str(tmp_path / "w.tsv"),
+        lm_vocab_file=str(lm_vocab), prot_vocab_file=str(prot_vocab),
+        sep_id=SPECIAL[0], mask_id=SPECIAL[1], unk_id=SPECIAL[2],
+        compute_dtype="float32", batch_size=2,
+    )
+    # text 24 | kg 8 | prot 64 layout comes from the loader defaults;
+    # override to the golden's layout
+    import dataclasses as dc
+    engine = dc.replace(
+        engine, cfg=engine.cfg.replace(
+            kg_start_idx=KG_START, prot_start_idx=PROT_START, seq_len=SEQ))
+
+    rows = {
+        "source": ["node1", "node2", "node3"],
+        "target": ["node4", "node5", "node6"],
+        "evidence": ["alpha binds beta"] * 3,
+        "source_description": ["alpha"] * 3,
+        "target_description": ["beta"] * 3,
+        "source_prot": ["A C G"] * 3,
+        "target_prot": ["G C A"] * 3,
+    }
+    feats = engine.preprocess(rows)
+    assert feats["input_ids"].shape == (3, SEQ)
+    emb = engine.embed(feats)
+    assert emb.shape == (3, TRUNK["hidden_size"])
+    assert np.isfinite(emb).all()
+    lg = engine.logits(feats)
+    assert lg.shape == (3, 3)
