@@ -16,7 +16,7 @@ Re-implements ``KGEClassificationModel`` and its datasets
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -150,15 +150,21 @@ def run_kg_baseline_cv(
     seed: int = 42,
     logger=None,
     task_name: str = "",
+    output_dir: Optional[str] = None,
 ) -> Dict[str, float]:
-    """Cross-validated weighted F1 (mirrors ``run_kg_baseline_classification_cv``)."""
+    """Cross-validated weighted F1 (mirrors ``run_kg_baseline_classification_cv``).
+
+    ``output_dir`` additionally writes the reference-style per-fold
+    predicted-label TSV (``kg_baseline_model.py:492-517`` flow)."""
+    import os
+
     from stonkgs_tpu.train.finetuning import (
         encode_labels, get_train_test_splits, weighted_f1,
     )
 
-    labels, tag2id, _ = encode_labels(list(labels_str))
+    labels, tag2id, id2tag = encode_labels(list(labels_str))
     splits = get_train_test_splits(labels, random_seed=seed, n_splits=cv)
-    f1s = []
+    f1s, rows = [], []
     for fold, idx in enumerate(splits):
         params = train_kg_baseline(
             features[idx["train_idx"]], labels[idx["train_idx"]],
@@ -168,6 +174,7 @@ def run_kg_baseline_cv(
         pred = predict(params, features[idx["test_idx"]])
         f1 = weighted_f1(labels[idx["test_idx"]], pred)
         f1s.append(f1)
+        rows.append((fold, idx["test_idx"], pred, labels[idx["test_idx"]]))
         if logger:
             logger.log_metric("f1_score_weighted", f1, step=fold)
     result = {"f1_score_mean": float(np.mean(f1s)),
@@ -175,4 +182,18 @@ def run_kg_baseline_cv(
     if logger:
         logger.log_param("task name", task_name)
         logger.log_metrics(result)
+    if output_dir:
+        import pandas as pd
+
+        os.makedirs(output_dir, exist_ok=True)
+        pd.concat([
+            pd.DataFrame({
+                "split": fold, "index": te.tolist(),
+                "predicted_label": [id2tag[p] for p in pred.tolist()],
+                "true_label": [id2tag[t] for t in true.tolist()],
+            }) for fold, te, pred, true in rows
+        ], ignore_index=True).to_csv(
+            os.path.join(output_dir,
+                         f"predicted_labels_kg_{task_name}df.tsv"),
+            sep="\t", index=False)
     return result

@@ -132,15 +132,19 @@ def run_nlp_baseline_cv(
     compute_dtype: str = "float32",
     logger=None,
     task_name: str = "",
+    output_dir: Optional[str] = None,
 ) -> Dict[str, float]:
-    """Cross-validated weighted F1 over evidence-only classification."""
+    """Cross-validated weighted F1 over evidence-only classification.
+
+    ``output_dir`` writes the reference-style predicted-labels TSV
+    (``nlp_baseline_model.py:253-258``)."""
     from stonkgs_tpu.train.finetuning import (
         encode_labels, get_train_test_splits, weighted_f1,
     )
 
-    labels, tag2id, _ = encode_labels(list(labels_str))
+    labels, tag2id, id2tag = encode_labels(list(labels_str))
     splits = get_train_test_splits(labels, random_seed=seed, n_splits=cv)
-    f1s = []
+    f1s, rows = [], []
     for fold, idx in enumerate(splits):
         params = init_nlp_baseline_params(
             jax.random.PRNGKey(seed + fold), cfg, len(tag2id),
@@ -159,6 +163,7 @@ def run_nlp_baseline_cv(
                        compute_dtype=getattr(jnp, compute_dtype))
         f1 = weighted_f1(labels[idx["test_idx"]], pred)
         f1s.append(f1)
+        rows.append((fold, idx["test_idx"], pred, labels[idx["test_idx"]]))
         if logger:
             logger.log_metric("f1_score_weighted", f1, step=fold)
     result = {"f1_score_mean": float(np.mean(f1s)),
@@ -166,4 +171,20 @@ def run_nlp_baseline_cv(
     if logger:
         logger.log_param("task name", task_name)
         logger.log_metrics(result)
+    if output_dir:
+        import os
+
+        import pandas as pd
+
+        os.makedirs(output_dir, exist_ok=True)
+        pd.concat([
+            pd.DataFrame({
+                "split": fold, "index": te.tolist(),
+                "predicted_label": [id2tag[p] for p in pred.tolist()],
+                "true_label": [id2tag[t] for t in true.tolist()],
+            }) for fold, te, pred, true in rows
+        ], ignore_index=True).to_csv(
+            os.path.join(output_dir,
+                         f"predicted_labels_nlp_{task_name}df.tsv"),
+            sep="\t", index=False)
     return result
