@@ -25,7 +25,8 @@ def main():
 @main.command()
 @click.option("--dataset", "dataset_path", required=True,
               help="Preprocessed pre-training features (.pkl or .tsv)")
-@click.option("--variant", type=click.Choice(["stonkgs", "transe"]),
+@click.option("--variant",
+              type=click.Choice(["stonkgs", "transe", "prot"]),
               default="stonkgs")
 @click.option("--kg-embedding-path", default=None,
               help="node2vec embeddings TSV (builds the KG backbone)")

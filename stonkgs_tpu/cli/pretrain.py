@@ -17,7 +17,7 @@ logger = logging.getLogger(__name__)
 
 FEATURE_KEYS = ("input_ids", "attention_mask", "token_type_ids",
                 "masked_lm_labels", "ent_masked_lm_labels",
-                "next_sentence_labels")
+                "prot_masked_lm_labels", "next_sentence_labels")
 
 
 def load_preprocessed_dataset(path: str) -> Dict[str, np.ndarray]:
@@ -89,6 +89,15 @@ def run_pretraining(
     logger.info("dataset: %d examples, seq len %d (%.1f MB)",
                 n, seq_len,
                 sum(v.nbytes for v in features.values()) / 1e6)
+
+    if variant == "prot":
+        return _run_prot_pretraining(
+            features, kg_embedding_path=kg_embedding_path,
+            batch_size=batch_size, lr=lr, max_steps=max_steps,
+            gradient_accumulation_steps=gradient_accumulation_steps,
+            save_steps=save_steps, save_total_limit=save_total_limit,
+            output_dir=output_dir, compute_dtype=compute_dtype,
+            remat=remat, seed=seed)
 
     # infer the layout from the data
     if variant == "transe":
@@ -182,4 +191,113 @@ def run_pretraining(
 
         save_pretrained(state.params, cfg, export_hf_dir)
         logger.info("exported HF checkpoint to %s", export_hf_dir)
+    return state
+
+
+def _run_prot_pretraining(
+    features,
+    *,
+    kg_embedding_path=None,
+    batch_size=8,
+    lr=1e-4,
+    max_steps=200,
+    gradient_accumulation_steps=1,
+    save_steps=5000,
+    save_total_limit=5,
+    output_dir="protstonkgs-pretraining",
+    compute_dtype="bfloat16",
+    remat=True,
+    seed=0,
+):
+    """ProtSTonKGs pre-training driver (tri-modality features).
+
+    Layout inferred from the label columns: the text segment spans the
+    masked_lm labels, KG the ent labels, protein the prot labels."""
+    import jax
+    import jax.numpy as jnp
+
+    from stonkgs_tpu.config import BertConfig, BigBirdConfig, ProtSTonKGsConfig
+    from stonkgs_tpu.models import protstonkgs
+    from stonkgs_tpu.parallel.mesh import make_mesh
+    from stonkgs_tpu.train.pretraining import PretrainingConfig, pretrain
+    from stonkgs_tpu.utils.logging import RunLogger
+
+    text_len = features["masked_lm_labels"].shape[1]
+    ent_len = features["ent_masked_lm_labels"].shape[1]
+    prot_len = features["prot_masked_lm_labels"].shape[1]
+    seq_len = features["input_ids"].shape[1]
+    assert text_len + ent_len + prot_len == seq_len
+
+    kg_vectors = None
+    hidden = 768
+    if kg_embedding_path:
+        import pandas as pd
+
+        kg_vectors = pd.read_csv(
+            kg_embedding_path, sep="\t", header=None, index_col=0
+        ).to_numpy(np.float32)
+        hidden = int(kg_vectors.shape[1])
+
+    ent_ids = features["input_ids"][:, text_len: text_len + ent_len]
+    prot_ids = features["input_ids"][:, text_len + ent_len:]
+    kg_vocab = int(ent_ids.max()) + 1
+    prot_vocab = max(int(prot_ids.max()) + 1, 30)
+
+    if hidden == 768:
+        trunk = BigBirdConfig(max_position_embeddings=max(seq_len, 4096))
+        lm = BertConfig()
+        prot = BertConfig(vocab_size=prot_vocab, hidden_size=1024,
+                          num_hidden_layers=30, num_attention_heads=16,
+                          intermediate_size=4096,
+                          max_position_embeddings=max(prot_len, 40000))
+    else:  # smoke-scale config derived from the embedding dim
+        trunk = BigBirdConfig(
+            vocab_size=128, hidden_size=hidden,
+            num_hidden_layers=2, num_attention_heads=max(hidden // 32, 2),
+            intermediate_size=hidden * 4,
+            max_position_embeddings=max(seq_len, 64),
+            block_size=max(seq_len // 8, 4), num_random_blocks=1)
+        lm = BertConfig(vocab_size=28996, hidden_size=hidden,
+                        num_hidden_layers=2,
+                        num_attention_heads=max(hidden // 32, 2),
+                        intermediate_size=hidden * 4,
+                        max_position_embeddings=max(text_len // 3, 8))
+        prot = BertConfig(vocab_size=prot_vocab, hidden_size=hidden,
+                          num_hidden_layers=2,
+                          num_attention_heads=max(hidden // 32, 2),
+                          intermediate_size=hidden * 4,
+                          max_position_embeddings=max(prot_len, 8))
+    cfg = ProtSTonKGsConfig(
+        trunk=trunk, lm=lm, prot=prot,
+        lm_vocab_size=lm.vocab_size, kg_vocab_size=kg_vocab,
+        prot_vocab_size=prot_vocab,
+        kg_start_idx=text_len, prot_start_idx=text_len + ent_len,
+        seq_len=seq_len,
+    )
+    params = protstonkgs.init_protstonkgs_params(jax.random.PRNGKey(seed), cfg)
+    if kg_vectors is not None:
+        params["kg_backbone"] = protstonkgs.build_kg_table(
+            params["lm_backbone"], cfg, kg_vectors)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        max_data = len(jax.devices())
+        n_data = max(d for d in range(1, max_data + 1) if batch_size % d == 0)
+        mesh = make_mesh(n_data=n_data, n_model=1)
+
+    run_cfg = PretrainingConfig(
+        learning_rate=lr, max_steps=max_steps,
+        micro_batch_size=batch_size,
+        grad_accumulation_steps=gradient_accumulation_steps,
+        save_steps=save_steps, save_total_limit=save_total_limit,
+        compute_dtype=compute_dtype, seed=seed, remat=remat,
+    )
+    with RunLogger(log_dir=output_dir,
+                   experiment="protstonkgs-pretraining") as log:
+        state = pretrain(
+            cfg, params, features, run_cfg, mesh=mesh,
+            checkpoint_dir=os.path.join(output_dir, "checkpoints"),
+            log_fn=lambda step, m: log.log_metrics(m, step),
+            loss_fn=protstonkgs.pretraining_loss,
+        )
     return state
