@@ -81,6 +81,30 @@ def finetune(**kw):
     run_finetuning(**kw)
 
 
+@main.command("finetune-all")
+@click.option("--input_dir", required=True,
+              help="directory with the per-task *_ppi_prot.tsv files")
+@click.option("--model_path", required=True, type=str)
+@click.option("--kg-embedding-path", required=True, type=str)
+@click.option("--kg-walks-path", required=True, type=str)
+@click.option("--vocab-file", required=True, type=str)
+@click.option("-e", "--epochs", default=5, type=int)
+@click.option("--cv", default=5, type=int)
+@click.option("--lr", default=5e-5, type=float)
+@click.option("--batch_size", default=8, type=int)
+@click.option("--max_dataset_size", default=100000, type=int)
+@click.option("--output_dir", default="stonkgs-finetuning", type=str)
+def finetune_all(input_dir, **kw):
+    """Run the full 10-task fine-tuning battery
+    (reference run_all_fine_tuning_tasks)."""
+    from stonkgs_tpu.cli.finetune import run_all_fine_tuning_tasks
+
+    results = run_all_fine_tuning_tasks(input_dir, **kw)
+    for task, res in results.items():
+        click.echo(f"{task}: f1 {res['f1_score_mean']:.4f} "
+                   f"± {res['f1_score_std']:.4f}")
+
+
 @main.command()
 @click.option("--pretraining_path", required=True, type=str)
 @click.option("--sep", default="\t", type=str)

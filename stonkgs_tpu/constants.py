@@ -12,6 +12,24 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+
+def _load_dotenv(path: str = ".env") -> None:
+    """Minimal dotenv loader (reference uses python-dotenv,
+    ``constants.py:79-84``): KEY=VALUE lines fill os.environ without
+    overriding existing variables."""
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            os.environ.setdefault(key.strip(), value.strip().strip("'\""))
+
+
+_load_dotenv()
+
 HOME = Path(os.getenv("STONKGS_TPU_HOME", Path.home() / ".data" / "stonkgs_tpu"))
 
 DATA_DIR = HOME / "data"
