@@ -56,15 +56,21 @@ def preprocess_df_for_embeddings(
 
 def get_stonkgs_embeddings(
     preprocessed_df,
-    engine: STonKGsEngine,
+    engine: Optional[STonKGsEngine] = None,
     list_of_indices: Optional[list] = None,
+    pretrained_stonkgs_model_name: Optional[str] = None,
 ):
     """Preprocessed DataFrame -> DataFrame with an ``embedding`` column.
 
-    API-compatible with the reference function but runs one batched jitted
-    forward instead of a tqdm row loop."""
+    API-compatible with the reference function (``stonkgs_for_embeddings.py:
+    158-186``) but runs batched jitted forwards instead of a batch-size-1
+    tqdm loop.  When no ``engine`` is given, the named (or default
+    stonkgs-150k) hub checkpoint is downloaded like the reference."""
     import pandas as pd
 
+    if engine is None:
+        engine = STonKGsEngine.from_default_pretrained(
+            pretrained_stonkgs_model_name)
     if list_of_indices is not None:
         preprocessed_df = preprocessed_df.iloc[list_of_indices]
     features = {
