@@ -266,4 +266,19 @@ def run_sequence_classification_cv(
                          f"predicted_labels_stonkgs_{task_name}df.tsv"),
             sep="\t", index=False,
         )
+        # save the last fold's model like the reference
+        # (``trainer.save_model``, stonkgs_finetuning.py:501); only the
+        # STonKGs family has an HF exporter
+        if state is not None and trunk_cfg is None:
+            try:
+                from stonkgs_tpu.utils.hf_export import save_pretrained
+
+                save_pretrained(
+                    state.params, cfg,
+                    os.path.join(output_dir, task_name or "model"))
+            except Exception as e:  # export is best-effort
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "could not export fine-tuned model: %s", e)
     return result

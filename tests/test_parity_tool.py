@@ -43,3 +43,32 @@ def test_verify_parity_passes_on_golden(tmp_path):
     assert report.max_dev < 5e-4, report.summary()
     assert report.max_dev_logits is not None
     assert "pooled" in report.summary()
+
+
+def test_verify_parity_cli(tmp_path):
+    from click.testing import CliRunner
+
+    from stonkgs_tpu.cli import main
+
+    golden = GoldenSTonKGs(TINY, KG_VOCAB, TEXT_LEN, num_labels=3)
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    torch.save(golden.reference_state_dict(), model_dir / "pytorch_model.bin")
+    (model_dir / "config.json").write_text(json.dumps({**TINY, "num_labels": 3}))
+    rng = np.random.default_rng(0)
+    names = [f"node{i}" for i in range(KG_VOCAB)]
+    art = KGArtifacts(
+        names=names, name_to_idx={n: i for i, n in enumerate(names)},
+        vectors=golden.kg_vectors,
+        walk_indices=rng.integers(0, KG_VOCAB, (KG_VOCAB, RW_LEN), dtype=np.int32),
+        rw_len=RW_LEN)
+    save_kg_artifacts(art, tmp_path / "emb.tsv", tmp_path / "walks.tsv")
+    result = CliRunner().invoke(main, [
+        "verify-parity",
+        "--model_path", str(model_dir),
+        "--kg-embedding-path", str(tmp_path / "emb.tsv"),
+        "--kg-walks-path", str(tmp_path / "walks.tsv"),
+        "--n_rows", "2", "--tolerance", "1e-3",
+    ])
+    assert result.exit_code == 0, result.output
+    assert "PASS" in result.output
