@@ -50,34 +50,39 @@ def main(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000):
     batch = jax.device_put(batch)
 
     @jax.jit
-    def step(params, batch, carry):
+    def step(params, batch, i):
         # params must be an ARGUMENT (closed-over arrays would be baked
-        # into the HLO as constants). carry is a genuine (non-constant-
-        # foldable) data dependency between iterations so queued dispatch
-        # cannot overlap or elide executions when timing.
-        ids = batch["input_ids"].at[0, 0].add(
-            (carry[0] != 0.0).astype(jnp.int32)
-        )
-        pooled = stonkgs.pooler_output(
+        # into the HLO as constants). The step index perturbs the input so
+        # no two dispatches are identical computations.
+        ids = batch["input_ids"].at[:, 0].add(i % 7)
+        # the full pooled output is the real product of this workload; it
+        # is fetched to the host below (a true sync on the axon tunnel,
+        # where block_until_ready returns early)
+        return stonkgs.pooler_output(
             params, cfg,
             {**batch, "input_ids": ids},
             compute_dtype=jnp.bfloat16,
         )
-        # reduce over the FULL batch so no row is dead-code-eliminated
-        return jnp.sum(pooled.astype(jnp.float32), axis=0)[:1]
 
-    carry = jnp.zeros((1,), jnp.float32)
-    carry = step(params, batch, carry)
-    float(carry[0])  # compile + warmup; force a real host round trip
-    # NOTE: on the tunneled axon backend block_until_ready() returns before
-    # execution finishes — only a device->host value fetch is a true sync.
-    # The scalar carry keeps the fetch cost negligible vs the forward pass.
+    out = step(params, batch, 0)
+    np.asarray(out)  # compile + warmup; force a real host round trip
 
+    # Steady-state throughput: dispatch all batches (device executes them
+    # back to back without a host round trip between steps — exactly how
+    # the streaming extraction engine drives the chip), then fetch every
+    # output to the host. Total wall time covers ALL compute + transfers.
     t0 = time.perf_counter()
-    for _ in range(steps):
-        carry = step(params, batch, carry)
-        float(carry[0])
+    outs = [step(params, batch, i) for i in range(1, steps + 1)]
+    outs = [np.asarray(o, np.float32) for o in outs]
     dt = (time.perf_counter() - t0) / steps
+    for o in outs:
+        assert np.isfinite(o).all()
+
+    # Latency: per-batch time with a forced host sync every step.
+    t0 = time.perf_counter()
+    for i in range(3):
+        np.asarray(step(params, batch, i))
+    latency_ms = (time.perf_counter() - t0) / 3 * 1e3
 
     pairs_per_sec = B / dt
     print(json.dumps({
@@ -86,6 +91,7 @@ def main(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000):
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "single_batch_latency_ms": round(latency_ms, 1),
     }))
 
 

@@ -205,8 +205,15 @@ def encoder_layer(
     dropout_rng: Optional[Array] = None,
     precision=None,
     attention_impl: str = "xla",
+    remat_attention: bool = False,
 ) -> Array:
-    """One post-LN BERT layer: self-attention + FFN, residuals, LayerNorms."""
+    """One post-LN BERT layer: self-attention + FFN, residuals, LayerNorms.
+
+    ``remat_attention`` checkpoints only the attention sub-block: the
+    O(B*heads*S^2) score/softmax buffers — the dominant backward-pass HBM
+    cost at seq 512 — are recomputed, while the cheap-to-store FFN
+    activations are saved (selective remat, cheaper than full-layer remat).
+    """
     B, S, H = x.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     ap = lp["attention"]
@@ -215,17 +222,21 @@ def encoder_layer(
     else:
         r_attn = r_ao = r_ff = None
 
-    q = dense(x, ap["query"], precision).reshape(B, S, nh, hd)
-    k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
-    v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
-    ctx = dot_product_attention(
-        q, k, v, bias=attn_bias,
-        dropout_rate=cfg.attention_probs_dropout_prob,
-        dropout_rng=r_attn, deterministic=deterministic,
-        precision=precision, impl=attention_impl,
-    )
-    ctx = ctx.reshape(B, S, H)
-    attn_out = dense(ctx, ap["output"], precision)
+    def attn_block(x, ap):
+        q = dense(x, ap["query"], precision).reshape(B, S, nh, hd)
+        k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
+        v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
+        ctx = dot_product_attention(
+            q, k, v, bias=attn_bias,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=r_attn, deterministic=deterministic,
+            precision=precision, impl=attention_impl,
+        )
+        return dense(ctx.reshape(B, S, H), ap["output"], precision)
+
+    if remat_attention:
+        attn_block = jax.checkpoint(attn_block)
+    attn_out = attn_block(x, ap)
     attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
     x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
 
@@ -245,10 +256,18 @@ def encode(
     dropout_rng: Optional[Array] = None,
     precision=None,
     attention_impl: str = "xla",
-    remat: bool = False,
+    remat=False,
 ) -> Array:
-    """Run the stacked encoder with lax.scan over the layer axis."""
+    """Run the stacked encoder with lax.scan over the layer axis.
+
+    ``remat``: False (save everything), True or "full" (checkpoint whole
+    layers), or "attention" (selective: recompute only the attention
+    block's O(S^2) internals, save FFN activations — less recompute than
+    full-layer remat, less memory than none).
+    """
     attn_bias = attention_bias_from_mask(attention_mask, jnp.float32)
+    mode = "full" if remat is True else (remat or "none")
+    assert mode in ("none", "full", "attention"), mode
 
     def body(carry, layer_in):
         x, rng = carry
@@ -261,10 +280,11 @@ def encode(
             x, lp, cfg, attn_bias,
             deterministic=deterministic, dropout_rng=sub,
             precision=precision, attention_impl=attention_impl,
+            remat_attention=(mode == "attention"),
         )
         return (y, rng), None
 
-    if remat:
+    if mode == "full":
         body = jax.checkpoint(body)
 
     rng0 = dropout_rng if not deterministic else None

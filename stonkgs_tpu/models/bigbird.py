@@ -128,6 +128,7 @@ def bigbird_model(
     rand_attn: Optional[np.ndarray] = None,  # (L, H, nb-2, r) static
     attention_type: Optional[str] = None,    # override cfg.attention_type
     attention_impl: str = "xla",             # dense path: "xla" | "flash"
+    sparse_impl: str = "auto",               # sparse path: "auto"|"xla"|"pallas"
 ) -> Tuple[Array, Optional[Array]]:
     """Full BigBirdModel forward -> (sequence_output, pooled)."""
     if not deterministic and dropout_rng is not None:
@@ -177,7 +178,22 @@ def bigbird_model(
         k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
         v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
         if attn_type == "block_sparse":
-            ctx = block_sparse_attention(
+            # Pallas kernel is forward-only: inference path by default on
+            # TPU; the differentiable XLA lowering serves training.
+            use_pallas = sparse_impl == "pallas" or (
+                sparse_impl == "auto" and deterministic
+                and jax.default_backend() == "tpu"
+                and S // cfg.block_size >= 5
+            )
+            if use_pallas:
+                from stonkgs_tpu.ops.bigbird_sparse_pallas import (
+                    block_sparse_attention_pallas,
+                )
+
+                sparse_fn = block_sparse_attention_pallas
+            else:
+                sparse_fn = block_sparse_attention
+            ctx = sparse_fn(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 la_rand, mask_f, cfg.block_size, precision=precision,

@@ -1,0 +1,72 @@
+"""Parity of the Pallas block-sparse kernel vs the XLA reference lowering.
+
+The XLA implementation (``ops/bigbird_sparse.py``) is itself parity-pinned
+against HF BigBird (``test_bigbird_parity.py``); the Pallas kernel must be
+numerically identical to it in fp32. Runs in interpreter mode on the CPU
+test mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stonkgs_tpu.ops.bigbird_sparse import block_sparse_attention
+from stonkgs_tpu.ops.bigbird_sparse_pallas import block_sparse_attention_pallas
+
+B, H, D = 2, 3, 8
+BS = 16
+
+
+def _inputs(nb, r, seed=0, padded=True):
+    rng = np.random.default_rng(seed)
+    S = nb * BS
+    q, k, v = (rng.normal(size=(B, H, S, D)).astype(np.float32) * 0.5
+               for _ in range(3))
+    mask = np.ones((B, S), np.float32)
+    if padded:
+        mask[0, -20:] = 0.0   # pad crossing the last block boundary
+        mask[1, 37:45] = 0.0  # pad inside a middle block
+    # a valid random plan: blocks outside {0, i-1, i, i+1, last}
+    rand = np.zeros((H, nb - 2, r), np.int32)
+    for h in range(H):
+        for j in range(nb - 2):
+            i = j + 1
+            legal = ([b for b in range(1, nb - 1) if abs(b - i) > 1]
+                     or list(range(1, nb - 1)))  # numerics don't need HF's
+            rand[h, j] = rng.choice(legal, r, replace=len(legal) < r)
+    return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(rand), jnp.asarray(mask))
+
+
+@pytest.mark.parametrize("nb,r", [(8, 2), (6, 3), (5, 1)])
+def test_pallas_matches_xla_fp32(nb, r):
+    q, k, v, rand, mask = _inputs(nb, r)
+    ref = block_sparse_attention(q, k, v, rand, mask, BS)
+    got = block_sparse_attention_pallas(q, k, v, rand, mask, BS,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pallas_matches_xla_eval_plan():
+    """Eval mode: HF zeroes the random plan (all rand blocks -> block 0)."""
+    nb, r = 7, 3
+    q, k, v, _, mask = _inputs(nb, r, seed=1)
+    rand = jnp.zeros((H, nb - 2, r), jnp.int32)
+    ref = block_sparse_attention(q, k, v, rand, mask, BS)
+    got = block_sparse_attention_pallas(q, k, v, rand, mask, BS,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pallas_full_mask():
+    nb, r = 8, 2
+    q, k, v, rand, _ = _inputs(nb, r, seed=2, padded=False)
+    mask = jnp.ones((B, nb * BS), jnp.float32)
+    ref = block_sparse_attention(q, k, v, rand, mask, BS)
+    got = block_sparse_attention_pallas(q, k, v, rand, mask, BS,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
