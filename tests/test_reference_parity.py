@@ -404,3 +404,70 @@ def test_bert_base_scale_parity(ref, tmp_path):
     j_nsp = np.asarray(stonkgs.pretraining_logits(params, cfg, ids, mask, tt)[2])
     d_nsp = np.abs(out.seq_relationship_logits.numpy() - j_nsp).max()
     assert d_nsp < 1e-5, f"nsp max dev at BERT-base scale: {d_nsp}"
+
+
+def test_preprocess_fine_tuning_data_parity(ref, tmp_path):
+    """The reference's own pandas/HF-tokenizer preprocessing vs our batched
+    C++-tokenizer path — token-exact on input_ids/attention/token_type and
+    labels (no masking on this path; reference
+    ``stonkgs_finetuning.py:92-210``)."""
+    from stonkgs_tpu.data.artifacts import KGArtifacts, save_kg_artifacts
+    from stonkgs_tpu.data.fast_tokenizer import FastBertTokenizer
+    from stonkgs_tpu.data.preprocessing import preprocess_for_finetuning
+
+    # vocab with real words + subword pieces (same file drives both sides)
+    words = ["akt1", "mtor", "gsk3b", "phosphorylates", "activates",
+             "inhibits", "signaling", "pathway", "the", "via", "kinase"]
+    vocab = (["[PAD]", "[unused0]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + words + ["##s", "##ing", "##ylates", "phosphor", "activ",
+                        "##ates"])
+    vocab_file = tmp_path / "vocab_ft.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n")
+
+    # KG artifacts: rw_len 7 -> half_length 16
+    rng = np.random.default_rng(11)
+    n = 12
+    names = [f"p(HGNC:{i} ! G{i})" for i in range(n)]
+    artifacts = KGArtifacts(
+        names=names, name_to_idx={m: i for i, m in enumerate(names)},
+        vectors=rng.normal(size=(n, 8)).astype(np.float32),
+        walk_indices=rng.integers(0, n, (n, 7), dtype=np.int32),
+        rw_len=7)
+    emb_path = tmp_path / "ft_emb.tsv"
+    walks_path = tmp_path / "ft_walks.tsv"
+    save_kg_artifacts(artifacts, emb_path, walks_path)
+
+    rows = [
+        (names[0], names[1], "AKT1 phosphorylates GSK3B via the pathway", 0),
+        (names[2], names[3],
+         "the kinase activates signaling " * 5, 2),  # truncation
+        ("p(HGNC:999 ! ZZZ)", names[4], "inhibits the pathway", 1),  # dropped
+        (names[5], names[6], "MTOR signaling", 1),
+    ]
+    tsv = tmp_path / "task.tsv"
+    pd.DataFrame(rows, columns=["source", "target", "evidence", "class"]
+                 ).to_csv(tsv, sep="\t", index=False)
+
+    # the reference's fast-tokenizer branch reads the VOCAB_FILE constant
+    # bound at module import; point it at the SAME vocab file ours uses
+    ref["ft"].VOCAB_FILE = str(vocab_file)
+    ref_df = ref["ft"].preprocess_fine_tuning_data(
+        str(tsv),
+        embedding_name_to_vector_path=str(emb_path),
+        embedding_name_to_random_walk_path=str(walks_path),
+    )
+
+    kept = [r for r in rows if r[0] in artifacts.name_to_idx
+            and r[1] in artifacts.name_to_idx]
+    src = np.asarray([r[0] for r in kept], object)
+    tgt = np.asarray([r[1] for r in kept], object)
+    ev = [r[2] for r in kept]
+    labels = np.asarray([r[3] for r in kept])
+    ours = preprocess_for_finetuning(
+        src, tgt, ev, labels, artifacts, FastBertTokenizer(str(vocab_file)))
+
+    assert len(ref_df) == len(kept) == 3
+    for col in ("input_ids", "attention_mask", "token_type_ids"):
+        ref_arr = np.asarray([list(v) for v in ref_df[col]])
+        np.testing.assert_array_equal(ref_arr, ours[col], err_msg=col)
+    np.testing.assert_array_equal(np.asarray(ref_df["labels"]), ours["labels"])
