@@ -54,8 +54,14 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
     emit(f"train breakdown: fwd only (B={batch_size}, remat={remat})",
          batch_size / dt, "examples/sec", ms=round(dt * 1e3, 1))
 
-    # 2. grad, no optimizer
-    gf = jax.jit(lambda p, b: jax.grad(loss_fn)(p, b)["trunk"]["pooler"]["bias"])
+    # 2. grad, no optimizer. Reduce over ALL gradient leaves — returning a
+    # single leaf lets XLA dead-code-eliminate the rest of the backward.
+    def _gradsum(grads):
+        return jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.abs(g.astype(jnp.float32))),
+            grads, jnp.float32(0.0))[None]
+
+    gf = jax.jit(lambda p, b: _gradsum(jax.grad(loss_fn)(p, b)))
     dt = timed_op(gf, (params, batch), steps=steps)
     emit(f"train breakdown: fwd+bwd (B={batch_size}, remat={remat})",
          batch_size / dt, "examples/sec", ms=round(dt * 1e3, 1))
@@ -63,8 +69,11 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
     # 3. full step
     tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
     state = init_train_state(params, tx)
+    # donate=False: the step must not consume `params`, which the later
+    # ablations reuse (donation deleted the buffers -> "Array has been
+    # deleted" on the first run of this script)
     step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
-                              remat=remat)
+                              remat=remat, donate=False)
     from _util import timed_train_steps
 
     state, dt = timed_train_steps(step_fn, state, batch, steps=steps)
@@ -106,8 +115,7 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
             batch["next_sentence_labels"])
         return mlm + elm + nsp
 
-    gf = jax.jit(lambda p, e, b: jax.grad(loss_nofrozen)(
-        p, e, b)["trunk"]["pooler"]["bias"])
+    gf = jax.jit(lambda p, e, b: _gradsum(jax.grad(loss_nofrozen)(p, e, b)))
     dt = timed_op(gf, (params, embeds, batch), steps=steps)
     emit(f"train breakdown: fwd+bwd minus frozen backbones (B={batch_size}, "
          f"remat={remat})",
@@ -123,8 +131,7 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
             nsp_head(params["cls"]["seq_relationship"], pooled, None),
             batch["next_sentence_labels"])
 
-    gf = jax.jit(lambda p, b: jax.grad(loss_nsp)(
-        p, b)["trunk"]["pooler"]["bias"])
+    gf = jax.jit(lambda p, b: _gradsum(jax.grad(loss_nsp)(p, b)))
     dt = timed_op(gf, (params, batch), steps=steps)
     emit(f"train breakdown: fwd+bwd minus MLM/ELM heads (B={batch_size}, "
          f"remat={remat})",

@@ -53,15 +53,59 @@ def dense(x: Array, p: dict, precision=None) -> Array:
     return y
 
 
-def layer_norm(x: Array, p: dict, eps: float) -> Array:
-    """LayerNorm over the last axis; statistics in >= fp32 for stability."""
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
     f = jnp.promote_types(x.dtype, jnp.float32)
     xf = x.astype(f)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(f) + p["bias"].astype(f)
+    y = y * scale.astype(f) + bias.astype(f)
     return y.astype(x.dtype)
+
+
+def _layer_norm_fwd(x, scale, bias, eps):
+    f = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(f)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * rstd * scale.astype(f) + bias.astype(f)
+    # Residuals: x in its ORIGINAL dtype + the (.., 1) statistics. Plain
+    # autodiff keeps several fp32 copies of the residual stream alive per
+    # LayerNorm (measured: 6 x f32[L,B,S,H] HLO temps in the train step),
+    # which dominated training HBM under selective remat.
+    return y.astype(x.dtype), (x, scale, mean, rstd)
+
+
+def _layer_norm_bwd(eps, res, g):
+    x, scale, mean, rstd = res
+    f = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(f)
+    gf = g.astype(f)
+    xhat = (xf - mean) * rstd
+    dbias = jnp.sum(gf, axis=tuple(range(g.ndim - 1)))
+    dscale = jnp.sum(gf * xhat, axis=tuple(range(g.ndim - 1)))
+    gs = gf * scale.astype(f)
+    dx = rstd * (
+        gs
+        - jnp.mean(gs, axis=-1, keepdims=True)
+        - xhat * jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    )
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)
+
+
+def layer_norm(x: Array, p: dict, eps: float) -> Array:
+    """LayerNorm over the last axis; statistics in >= fp32 for stability.
+
+    Custom VJP: the backward pass recomputes x_hat from compact residuals
+    instead of letting autodiff save fp32 intermediates of the full
+    residual stream."""
+    return _layer_norm(x, p["scale"], p["bias"], eps)
 
 
 def activation(name: str):

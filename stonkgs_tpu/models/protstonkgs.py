@@ -176,6 +176,7 @@ def trunk_forward(
     prot_attention_impl: Optional[str] = None,
     trunk_attention_type: Optional[str] = None,
     trunk_attention_impl: str = "flash",
+    sparse_impl: str = "auto",
 ) -> Tuple[Array, Array]:
     """``trunk_attention_type="original_full"`` replaces block-sparse with
     dense flash attention — measured 1.8x faster at 4096 on v5e, but only
@@ -201,6 +202,7 @@ def trunk_forward(
         remat=remat, with_pooler=True, rand_attn=rand_attn,
         attention_type=trunk_attention_type,
         attention_impl=trunk_attention_impl,
+        sparse_impl=sparse_impl,
     )
 
 

@@ -42,7 +42,17 @@ def dense_int8(x: Array, p: Mapping, precision=None) -> Array:
     """y = dequant(quant(x) @ kernel_q) + bias.
 
     Dynamic symmetric per-row activation quantization; accumulation in
-    int32 on the MXU."""
+    int32 on the MXU. On TPU, encoder-sized layers dispatch to the fused
+    Pallas kernel (quant + GEMM + dequant in VMEM,
+    ``ops/quantization_pallas.py``); other shapes use the XLA lowering."""
+    if p["kernel_q"].ndim == 2 and jax.default_backend() == "tpu":
+        from stonkgs_tpu.ops.quantization_pallas import (
+            dense_int8_fused, supported,
+        )
+
+        if supported(p["kernel_q"]):
+            return dense_int8_fused(
+                x, p["kernel_q"], p["scale"], p.get("bias"))
     f = x.dtype
     xf = x.astype(jnp.float32)
     x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
