@@ -35,18 +35,21 @@ from stonkgs_tpu.train.pretraining import (  # noqa: E402
 )
 
 
-def single_chip(batch_size: int, steps: int, kg_vocab: int, remat):
+def single_chip(batch_size: int, steps: int, kg_vocab: int, remat,
+                attention_impl: str = "xla"):
     """``remat``: False | "full" | "attention" (selective)."""
     cfg = full_scale_config(kg_vocab)
     params = init_params(cfg)
     tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
     state = init_train_state(params, tx)
-    step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16, remat=remat)
+    step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
+                              remat=remat, attention_impl=attention_impl)
     batch = synthetic_batch(cfg, batch_size, with_pretraining_labels=True)
     _, dt = timed_train_steps(step_fn, state, batch, steps=steps)
     emit(
         f"pre-training throughput (stonkgs MLM+ELM+NSP, bf16, batch "
-        f"{batch_size}, remat={remat}, kg_vocab {kg_vocab})",
+        f"{batch_size}, remat={remat}, attention={attention_impl}, "
+        f"kg_vocab {kg_vocab})",
         batch_size / dt, "examples/sec/chip",
         step_ms=round(dt * 1e3, 1),
     )
@@ -103,6 +106,8 @@ if __name__ == "__main__":
     ap.add_argument("--remat", default="full",
                     choices=["none", "full", "attention"],
                     help="rematerialization mode for the trunk")
+    ap.add_argument("--attention", default="xla", choices=["xla", "flash"],
+                    help="attention impl (flash = Pallas custom-VJP kernel)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="also run on an N-device virtual mesh")
     a = ap.parse_args()
@@ -110,4 +115,4 @@ if __name__ == "__main__":
         virtual_mesh(a.mesh, a.steps)
     else:
         single_chip(a.batch_size, a.steps, a.kg_vocab,
-                    False if a.remat == "none" else a.remat)
+                    False if a.remat == "none" else a.remat, a.attention)

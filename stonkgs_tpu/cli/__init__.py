@@ -44,9 +44,15 @@ def main():
 @click.option("--n_model_shards", default=1, type=int,
               help="model-axis size (shards KG table + decoders)")
 @click.option("--compute_dtype", default="bfloat16", type=str)
-@click.option("--remat/--no-remat", default=True,
-              help="rematerialize the trunk in backward (HBM for FLOPs; "
-                   "required for full-size single-chip training)")
+@click.option("--remat", default="auto",
+              type=click.Choice(["auto", "none", "full", "attention"]),
+              help="trunk rematerialization: full layers, attention-only "
+                   "(selective), or none; auto = the fastest measured mode "
+                   "for the backend (PERF.md)")
+@click.option("--attention", "attention_impl", default="auto",
+              type=click.Choice(["auto", "xla", "flash"]),
+              help="attention implementation; flash = Pallas custom-VJP "
+                   "kernel with in-kernel dropout (auto = flash on TPU)")
 @click.option("--export_hf_dir", default=None, type=str,
               help="export the final model as an HF checkpoint directory")
 @click.option("--frozen_bf16/--no-frozen_bf16", default=True,

@@ -51,6 +51,27 @@ def load_preprocessed_dataset(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def resolve_train_impl(remat="auto", attention_impl="auto"):
+    """Resolve "auto" training knobs to the measured-best configuration.
+
+    On TPU, the Pallas custom-VJP flash attention plus selective
+    (attention-only) rematerialization is the fastest full-scale
+    configuration measured (PERF.md round 2: 163 vs 105 examples/s/chip at
+    per-chip batch 64); elsewhere the XLA attention with full-layer remat
+    is the safe default.
+    """
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if attention_impl in (None, "auto"):
+        attention_impl = "flash" if on_tpu else "xla"
+    if remat in (None, "auto", True):
+        remat = "attention" if attention_impl == "flash" else "full"
+    if remat == "none":
+        remat = False
+    return remat, attention_impl
+
+
 def run_pretraining(
     dataset_path: str,
     *,
@@ -67,7 +88,8 @@ def run_pretraining(
     output_dir: str = "stonkgs-pretraining",
     n_model_shards: int = 1,
     compute_dtype: str = "bfloat16",
-    remat: bool = True,
+    remat="auto",
+    attention_impl: str = "auto",
     frozen_bf16: bool = True,
     export_hf_dir: Optional[str] = None,
     local_rank: int = -1,  # accepted and ignored, like the reference CLI
@@ -91,13 +113,16 @@ def run_pretraining(
                 sum(v.nbytes for v in features.values()) / 1e6)
 
     if variant == "prot":
+        # the BigBird trunk supports full-layer remat only
         return _run_prot_pretraining(
             features, kg_embedding_path=kg_embedding_path,
             batch_size=batch_size, lr=lr, max_steps=max_steps,
             gradient_accumulation_steps=gradient_accumulation_steps,
             save_steps=save_steps, save_total_limit=save_total_limit,
             output_dir=output_dir, compute_dtype=compute_dtype,
-            remat=remat, seed=seed)
+            remat=remat not in (False, "none"), seed=seed)
+
+    remat, attention_impl = resolve_train_impl(remat, attention_impl)
 
     # infer the layout from the data
     if variant == "transe":
@@ -176,6 +201,7 @@ def run_pretraining(
         grad_accumulation_steps=gradient_accumulation_steps,
         save_steps=save_steps, save_total_limit=save_total_limit,
         compute_dtype=compute_dtype, seed=seed, remat=remat,
+        attention_impl=attention_impl,
     )
     with RunLogger(log_dir=output_dir, experiment="stonkgs-pretraining") as log:
         for k, v in vars(run_cfg).items():

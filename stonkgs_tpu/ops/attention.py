@@ -33,9 +33,13 @@ def dot_product_attention(
     impl: str = "xla",
 ) -> Array:
     """Scaled dot-product attention. Returns (B, S, H, D)."""
-    if impl == "flash" and deterministic:
-        from stonkgs_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, bias=bias)
+    if impl == "flash":
+        from stonkgs_tpu.ops.flash_attention import flash_attention_train
+        return flash_attention_train(
+            q, k, v, bias=bias,
+            dropout_rate=0.0 if deterministic else dropout_rate,
+            dropout_rng=dropout_rng,
+        )
     return _xla_attention(
         q, k, v, bias,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,

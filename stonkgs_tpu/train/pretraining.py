@@ -69,6 +69,7 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     grad_accumulation_steps: int = 1,
     remat: bool = False,
+    attention_impl: str = "xla",
     mesh: Optional[Mesh] = None,
     donate: bool = True,
 ):
@@ -78,9 +79,14 @@ def make_train_step(
     ``grad_accumulation_steps * micro_batch`` and scans over micro-batches,
     accumulating gradients in fp32 (reference equivalent:
     ``gradient_accumulation_steps`` in TrainingArguments).
+
+    ``attention_impl="flash"`` uses the Pallas custom-VJP attention
+    (``ops.flash_attention``): the O(S²) softmax residuals are recomputed
+    in the backward kernel, so the trunk can train without remat.
     """
     if loss_fn is None:
-        loss_fn = partial(stonkgs.pretraining_loss, remat=remat)
+        loss_fn = partial(stonkgs.pretraining_loss, remat=remat,
+                          attention_impl=attention_impl)
 
     def micro_loss(params, batch, rng):
         loss, metrics = loss_fn(
@@ -156,6 +162,7 @@ class PretrainingConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    attention_impl: str = "xla"
 
     @property
     def batch_size(self) -> int:
@@ -244,6 +251,7 @@ def pretrain(
         compute_dtype=getattr(jnp, run_cfg.compute_dtype),
         grad_accumulation_steps=run_cfg.grad_accumulation_steps,
         remat=run_cfg.remat,
+        attention_impl=run_cfg.attention_impl,
         mesh=mesh,
     )
 

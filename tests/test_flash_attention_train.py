@@ -1,0 +1,190 @@
+"""Differentiable flash attention (Pallas custom VJP) vs the XLA path.
+
+Runs in interpreter mode on CPU.  Covers: forward parity, gradient parity
+for q/k/v/bias (the backward Pallas kernel recomputes probabilities from
+the saved logsumexp), sequence padding, dropout mask determinism between
+forward and backward (finite-difference check), and bf16 inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stonkgs_tpu.ops.attention import dot_product_attention
+from stonkgs_tpu.ops.flash_attention import flash_attention_train
+
+
+def _qkv(rng, B=2, S=48, H=3, D=16, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype)
+    mask = (rng.random((B, S)) > 0.2).astype(np.float32)
+    mask[:, :4] = 1.0  # at least some attendable keys per row
+    bias = jnp.asarray((1.0 - mask) * -1e9, jnp.float32)[:, None, None, :]
+    return q, k, v, bias
+
+
+@pytest.mark.parametrize("S", [48, 64])  # 48 exercises the padding path
+def test_forward_matches_xla(S):
+    rng = np.random.default_rng(0)
+    q, k, v, bias = _qkv(rng, S=S)
+    ref = dot_product_attention(q, k, v, bias, impl="xla")
+    got = flash_attention_train(q, k, v, bias, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_match_xla():
+    rng = np.random.default_rng(1)
+    q, k, v, bias = _qkv(rng)
+    w = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss(fn, q, k, v, bias):
+        return jnp.sum(fn(q, k, v, bias) * w)
+
+    ref = jax.grad(
+        lambda *a: loss(lambda q, k, v, b: dot_product_attention(
+            q, k, v, b, impl="xla"), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    got = jax.grad(
+        lambda *a: loss(lambda q, k, v, b: flash_attention_train(
+            q, k, v, b, block_q=32, interpret=True), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkv bias".split(), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_gradients_no_bias():
+    rng = np.random.default_rng(2)
+    q, k, v, _ = _qkv(rng)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_train(
+            q, k, v, None, block_q=32, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, None, impl="xla") ** 2)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_dropout_deterministic_per_seed():
+    rng = np.random.default_rng(3)
+    q, k, v, bias = _qkv(rng)
+    key = jax.random.PRNGKey(7)
+    out1 = flash_attention_train(q, k, v, bias, dropout_rate=0.25,
+                                 dropout_rng=key, block_q=32, interpret=True)
+    out2 = flash_attention_train(q, k, v, bias, dropout_rate=0.25,
+                                 dropout_rng=key, block_q=32, interpret=True)
+    out3 = flash_attention_train(q, k, v, bias, dropout_rate=0.25,
+                                 dropout_rng=jax.random.PRNGKey(8),
+                                 block_q=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+    # dropout actually drops: different from the deterministic output
+    base = flash_attention_train(q, k, v, bias, block_q=32, interpret=True)
+    assert not np.allclose(np.asarray(out1), np.asarray(base))
+
+
+def test_dropout_gradients_consistent():
+    """The backward kernel must regenerate the same mask as the forward
+    (finite differences hold because the mask depends only on the seed)."""
+    rng = np.random.default_rng(4)
+    q, k, v, bias = _qkv(rng, B=1, S=32, H=2, D=8)
+    key = jax.random.PRNGKey(11)
+
+    def f(q, k, v):
+        return flash_attention_train(
+            q, k, v, bias, dropout_rate=0.3, dropout_rng=key,
+            block_q=32, interpret=True)
+
+    from jax._src import test_util as jtu
+
+    jtu.check_grads(f, (q, k, v), order=1, modes=("rev",),
+                    atol=5e-2, rtol=5e-2)
+
+
+def test_bf16_inputs():
+    rng = np.random.default_rng(5)
+    q, k, v, bias = _qkv(rng, dtype=jnp.bfloat16)
+    ref = dot_product_attention(q, k, v, bias, impl="xla")
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_train(
+            q, k, v, bias, block_q=32, interpret=True).astype(jnp.float32))
+
+    out = flash_attention_train(q, k, v, bias, block_q=32, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert all(g.dtype == jnp.bfloat16 for g in grads)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in grads)
+
+
+def test_pretraining_grads_match_xla_attention():
+    """Full STonKGs pretraining loss: flash-VJP attention == XLA attention
+    (values and gradients, deterministic, interpret mode)."""
+    from stonkgs_tpu.config import BertConfig, STonKGsConfig
+    from stonkgs_tpu.models import stonkgs
+    from stonkgs_tpu.utils.init import fast_init
+
+    cfg = STonKGsConfig(
+        bert=BertConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=32),
+        kg_vocab_size=111, text_len=16, entity_len=16,
+    )
+    params = fast_init(
+        lambda: stonkgs.init_stonkgs_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    B = 2
+    text = rng.integers(0, cfg.bert.vocab_size, (B, cfg.text_len))
+    ent = rng.integers(0, cfg.kg_vocab_size, (B, cfg.entity_len))
+    mlm = np.full((B, cfg.text_len), -100, np.int64)
+    elm = np.full((B, cfg.entity_len), -100, np.int64)
+    mlm[:, 1:3] = rng.integers(0, cfg.bert.vocab_size, (B, 2))
+    elm[:, 2:4] = rng.integers(0, cfg.kg_vocab_size, (B, 2))
+    batch = {
+        "input_ids": jnp.asarray(np.concatenate([text, ent], 1)),
+        "attention_mask": jnp.ones((B, cfg.seq_len), jnp.int32),
+        "token_type_ids": jnp.asarray(np.concatenate(
+            [np.zeros((B, cfg.text_len), np.int64),
+             np.ones((B, cfg.entity_len), np.int64)], 1)),
+        "masked_lm_labels": jnp.asarray(mlm),
+        "ent_masked_lm_labels": jnp.asarray(elm),
+        "next_sentence_labels": jnp.asarray(rng.integers(0, 2, (B,))),
+    }
+
+    def loss(params, impl):
+        l, _ = stonkgs.pretraining_loss(
+            params, cfg, batch, deterministic=True, attention_impl=impl)
+        return l
+
+    l0, g0 = jax.value_and_grad(loss)(params, "xla")
+    l1, g1 = jax.value_and_grad(loss)(params, "flash")
+    assert abs(float(l0) - float(l1)) < 1e-4
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_dot_product_attention_training_routes_to_kernel():
+    """impl='flash' + deterministic=False must apply in-kernel dropout."""
+    rng = np.random.default_rng(6)
+    q, k, v, bias = _qkv(rng)
+    key = jax.random.PRNGKey(0)
+    out = dot_product_attention(
+        q, k, v, bias, dropout_rate=0.5, dropout_rng=key,
+        deterministic=False, impl="flash")
+    base = dot_product_attention(q, k, v, bias, impl="flash")
+    assert not np.allclose(np.asarray(out), np.asarray(base))
