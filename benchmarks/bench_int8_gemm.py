@@ -95,9 +95,42 @@ def main(size: int = 4096, steps: int = 20):
              ms=round(dt * 1e3, 2))
 
 
+def sweep(size: int = 4096, steps: int = 20):
+    """Tile-shape sweep: how close can Pallas int8 get to the 2x MXU rate?"""
+    M = K = N = size
+    rng = np.random.default_rng(0)
+    a8 = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+    b8 = jnp.asarray(rng.integers(-127, 127, (K, N)), jnp.int8)
+    abf = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+    bbf = jnp.asarray(rng.normal(size=(K, N)), jnp.bfloat16)
+    flops = 2.0 * M * N * K
+    tiles = [(256, 256, 512), (256, 512, 1024), (512, 512, 512),
+             (512, 512, 2048), (512, 1024, 2048), (1024, 256, 2048),
+             (512, 2048, 1024), (1024, 1024, 1024), (2048, 512, 2048)]
+    for tm, tn, tk in tiles:
+        if tm > M or tn > N or tk > K:
+            continue
+        for name, x, y, acc in [("int8", a8, b8, jnp.int32),
+                                ("bf16", abf, bbf, jnp.float32)]:
+            fn = jax.jit(functools.partial(
+                pallas_matmul, tm=tm, tn=tn, tk=tk, acc_dtype=acc))
+            try:
+                dt = timed_op(fn, (x, y), steps=steps)
+            except Exception as e:  # noqa: BLE001 — report and continue
+                emit(f"GEMM {size}^3 pallas {name} tiles=({tm},{tn},{tk})",
+                     0.0, "TFLOP/s", error=type(e).__name__)
+                continue
+            emit(f"GEMM {size}^3 pallas {name} tiles=({tm},{tn},{tk})",
+                 flops / dt / 1e12, "TFLOP/s", ms=round(dt * 1e3, 2))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--sweep", action="store_true")
     a = ap.parse_args()
-    main(a.size, a.steps)
+    if a.sweep:
+        sweep(a.size, a.steps)
+    else:
+        main(a.size, a.steps)

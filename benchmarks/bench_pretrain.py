@@ -36,21 +36,23 @@ from stonkgs_tpu.train.pretraining import (  # noqa: E402
 
 
 def single_chip(batch_size: int, steps: int, kg_vocab: int, remat,
-                attention_impl: str = "xla"):
+                attention_impl: str = "xla", accum: int = 1):
     """``remat``: False | "full" | "attention" (selective)."""
     cfg = full_scale_config(kg_vocab)
     params = init_params(cfg)
     tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
     state = init_train_state(params, tx)
     step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
-                              remat=remat, attention_impl=attention_impl)
-    batch = synthetic_batch(cfg, batch_size, with_pretraining_labels=True)
+                              remat=remat, attention_impl=attention_impl,
+                              grad_accumulation_steps=accum)
+    batch = synthetic_batch(cfg, batch_size * accum,
+                            with_pretraining_labels=True)
     _, dt = timed_train_steps(step_fn, state, batch, steps=steps)
     emit(
         f"pre-training throughput (stonkgs MLM+ELM+NSP, bf16, batch "
-        f"{batch_size}, remat={remat}, attention={attention_impl}, "
+        f"{batch_size}x{accum}, remat={remat}, attention={attention_impl}, "
         f"kg_vocab {kg_vocab})",
-        batch_size / dt, "examples/sec/chip",
+        batch_size * accum / dt, "examples/sec/chip",
         step_ms=round(dt * 1e3, 1),
     )
 
@@ -108,6 +110,8 @@ if __name__ == "__main__":
                     help="rematerialization mode for the trunk")
     ap.add_argument("--attention", default="xla", choices=["xla", "flash"],
                     help="attention impl (flash = Pallas custom-VJP kernel)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps per step")
     ap.add_argument("--mesh", type=int, default=0,
                     help="also run on an N-device virtual mesh")
     a = ap.parse_args()
@@ -115,4 +119,5 @@ if __name__ == "__main__":
         virtual_mesh(a.mesh, a.steps)
     else:
         single_chip(a.batch_size, a.steps, a.kg_vocab,
-                    False if a.remat == "none" else a.remat, a.attention)
+                    False if a.remat == "none" else a.remat, a.attention,
+                    a.accum)

@@ -71,10 +71,80 @@ def main(batch_size: int = 8, steps: int = 8, kg_vocab: int = 20_000):
         )
 
 
+def train(batch_size: int = 2, steps: int = 4, kg_vocab: int = 20_000,
+          sparse_impl: str = "pallas"):
+    """Pre-training step throughput (MLM+ELM+ProtLM, remat, AdamW).
+
+    ``sparse_impl="pallas"`` exercises the block-sparse custom VJP;
+    ``"xla"`` is the reference lowering (round-1 training path)."""
+    from stonkgs_tpu.config import BigBirdConfig
+    from stonkgs_tpu.train.optimizer import make_optimizer
+    from stonkgs_tpu.train.pretraining import init_train_state, make_train_step
+
+    cfg = ProtSTonKGsConfig(trunk=BigBirdConfig(), kg_vocab_size=kg_vocab)
+    params = fast_init(lambda: protstonkgs.init_protstonkgs_params(
+        jax.random.PRNGKey(0), cfg))
+    # frozen backbones in bf16 (they take no gradients)
+    for key in ("lm_backbone", "prot_backbone", "kg_backbone"):
+        params[key] = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16), params[key])
+    plan = build_rand_attn(
+        cfg.seq_len, cfg.trunk.block_size, cfg.trunk.num_random_blocks,
+        cfg.trunk.num_attention_heads, cfg.trunk.num_hidden_layers,
+        cfg.trunk.max_position_embeddings, training=True)
+
+    import functools
+
+    loss_fn = functools.partial(
+        protstonkgs.pretraining_loss, remat=True, rand_attn=plan,
+        sparse_impl=sparse_impl)
+    tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
+    state = init_train_state(params, tx)
+    step_fn = make_train_step(cfg, tx, loss_fn=loss_fn,
+                              compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    B = batch_size
+    text = rng.integers(0, cfg.lm.vocab_size, (B, cfg.text_len))
+    ent = rng.integers(0, cfg.kg_table_size, (B, cfg.entity_len))
+    prot = rng.integers(0, cfg.prot_vocab_size, (B, cfg.prot_len))
+    batch = {
+        "input_ids": jnp.asarray(np.concatenate([text, ent, prot], 1)),
+        "attention_mask": jnp.ones((B, cfg.seq_len), jnp.float32),
+    }
+    for name, length, vocab in [
+        ("masked_lm_labels", cfg.text_len, cfg.lm_vocab_size),
+        ("ent_masked_lm_labels", cfg.entity_len, cfg.kg_vocab_size),
+        ("prot_masked_lm_labels", cfg.prot_len, cfg.prot_vocab_size),
+    ]:
+        lab = np.full((B, length), -100, np.int64)
+        kmask = max(int(length * 0.15), 1)
+        for i in range(B):
+            lab[i, rng.choice(length, kmask, replace=False)] = rng.integers(
+                0, vocab, kmask)
+        batch[name] = jnp.asarray(lab)
+
+    from _util import timed_train_steps
+
+    _, dt = timed_train_steps(step_fn, state, batch, steps=steps, warmup=2)
+    emit(
+        f"ProtSTonKGs pre-training step [block-sparse {sparse_impl}] "
+        f"(bf16, B={B}, seq 4096, remat, kg_vocab {kg_vocab})",
+        B / dt, "seq/sec/chip", step_ms=round(dt * 1e3, 1),
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="default: 8 forward / 2 training")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--kg-vocab", type=int, default=20_000)
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--sparse-impl", default="pallas",
+                    choices=["pallas", "xla", "auto"])
     a = ap.parse_args()
-    main(a.batch_size, a.steps, a.kg_vocab)
+    if a.train:
+        train(a.batch_size or 2, a.steps, a.kg_vocab, a.sparse_impl)
+    else:
+        main(a.batch_size or 8, a.steps, a.kg_vocab)

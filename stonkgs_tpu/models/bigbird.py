@@ -178,10 +178,11 @@ def bigbird_model(
         k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
         v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
         if attn_type == "block_sparse":
-            # Pallas kernel is forward-only: inference path by default on
-            # TPU; the differentiable XLA lowering serves training.
+            # The Pallas kernel has a custom VJP (ops/bigbird_sparse_pallas),
+            # so it serves both inference and training on TPU; the XLA
+            # lowering remains for CPU and as the parity oracle.
             use_pallas = sparse_impl == "pallas" or (
-                sparse_impl == "auto" and deterministic
+                sparse_impl == "auto"
                 and jax.default_backend() == "tpu"
                 and S // cfg.block_size >= 5
             )

@@ -118,12 +118,14 @@ def backbone_embeddings(
 
     ``prot_attention_impl`` defaults to "flash" on TPU: the 3072-token
     ProtBERT backbone is HBM-bound under dense attention (the fp32 score
-    buffers dominate); the Pallas kernel keeps them in VMEM."""
+    buffers dominate; in train mode XLA additionally materializes 3072²
+    u32 dropout masks, >1 GB per layer at B=2); the Pallas kernel keeps
+    the scores in VMEM and draws dropout in-kernel."""
     if prot_attention_impl is None:
         import jax as _jax
 
         prot_attention_impl = (
-            "flash" if _jax.default_backend() == "tpu" and deterministic
+            "flash" if _jax.default_backend() == "tpu"
             else attention_impl)
     chunk = cfg.kg_start_idx // 3
     B = input_ids.shape[0]
