@@ -57,6 +57,9 @@ def main():
               help="export the final model as an HF checkpoint directory")
 @click.option("--frozen_bf16/--no-frozen_bf16", default=True,
               help="store the frozen backbones in bf16 (halves their HBM)")
+@click.option("--fsdp/--no-fsdp", default=False,
+              help="fully shard params/grads/optimizer over the data axis "
+                   "(ZeRO-3 equivalent; needs a multi-device mesh)")
 @click.option("--local_rank", default=-1, type=int,
               help="THIS PARAMETER IS IGNORED")
 def pretrain(**kw):

@@ -90,6 +90,7 @@ def run_pretraining(
     compute_dtype: str = "bfloat16",
     remat="auto",
     attention_impl: str = "auto",
+    fsdp: bool = False,
     frozen_bf16: bool = True,
     export_hf_dir: Optional[str] = None,
     local_rank: int = -1,  # accepted and ignored, like the reference CLI
@@ -201,7 +202,7 @@ def run_pretraining(
         grad_accumulation_steps=gradient_accumulation_steps,
         save_steps=save_steps, save_total_limit=save_total_limit,
         compute_dtype=compute_dtype, seed=seed, remat=remat,
-        attention_impl=attention_impl,
+        attention_impl=attention_impl, fsdp=fsdp,
     )
     with RunLogger(log_dir=output_dir, experiment="stonkgs-pretraining") as log:
         for k, v in vars(run_cfg).items():

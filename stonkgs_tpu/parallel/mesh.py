@@ -14,6 +14,13 @@ ZeRO-2 over NCCL (``/root/reference/src/stonkgs/models/stonkgs_pretraining.py:
 Everything else is replicated; optimizer state follows its parameter's
 sharding, so the big-table optimizer state is sharded too (the ZeRO-ish
 memory win where it matters).
+
+``fsdp=True`` additionally shards every large otherwise-replicated
+parameter along the **data** axis (largest divisible dim), fully sharding
+parameters, gradients, and optimizer state — the ZeRO-3 equivalent the
+reference's opt-in DeepSpeed config stops short of (it ships stage 2,
+``/root/reference/src/stonkgs/models/deepspeed_config_zero2.json``). XLA
+inserts the all-gathers before use and reduce-scatters on the gradients.
 """
 
 from __future__ import annotations
@@ -66,20 +73,44 @@ def param_pspec(path: str) -> P:
     return P()
 
 
-def _tree_paths_and_specs(params):
+# leaves smaller than this stay replicated under fsdp (biases, LayerNorms)
+FSDP_MIN_SIZE = 65_536
+
+
+def _fsdp_spec(shape, n_data: int) -> P:
+    """Shard the largest ``n_data``-divisible dim on the data axis."""
+    if int(np.prod(shape)) < FSDP_MIN_SIZE:
+        return P()
+    best = None
+    for axis, size in enumerate(shape):
+        if size % n_data == 0 and (best is None or size >= shape[best]):
+            best = axis
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = DATA_AXIS
+    return P(*spec)
+
+
+def _tree_paths_and_specs(params, mesh: Optional[Mesh] = None,
+                          fsdp: bool = False):
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    n_data = mesh.shape[DATA_AXIS] if mesh is not None else 1
     specs = []
-    for path, _ in flat:
+    for path, leaf in flat:
         path_str = "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
-        specs.append(param_pspec(path_str))
+        spec = param_pspec(path_str)
+        if fsdp and spec == P() and n_data > 1:
+            spec = _fsdp_spec(np.shape(leaf), n_data)
+        specs.append(spec)
     return treedef, specs
 
 
-def param_shardings(params, mesh: Mesh):
+def param_shardings(params, mesh: Mesh, fsdp: bool = False):
     """NamedSharding tree matching ``params``' structure."""
-    treedef, specs = _tree_paths_and_specs(params)
+    treedef, specs = _tree_paths_and_specs(params, mesh, fsdp)
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, s) for s in specs]
     )
@@ -122,12 +153,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
     """Place a parameter tree on the mesh with its canonical shardings.
 
-    Pads model-sharded dims as needed (see ``pad_params_for_mesh``)."""
+    Pads model-sharded dims as needed (see ``pad_params_for_mesh``);
+    ``fsdp=True`` fully shards large replicated params over the data axis
+    (ZeRO-3-style; optimizer moments inherit the shardings)."""
     params = pad_params_for_mesh(params, mesh)
-    return jax.device_put(params, param_shardings(params, mesh))
+    return jax.device_put(params, param_shardings(params, mesh, fsdp))
 
 
 def shard_batch(batch, mesh: Mesh):

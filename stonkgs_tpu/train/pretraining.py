@@ -163,6 +163,9 @@ class PretrainingConfig:
     compute_dtype: str = "bfloat16"
     remat: bool = False
     attention_impl: str = "xla"
+    # fully shard params/grads/optimizer over the data axis (ZeRO-3-style;
+    # the reference's DeepSpeed config stops at stage 2)
+    fsdp: bool = False
 
     @property
     def batch_size(self) -> int:
@@ -215,7 +218,8 @@ def pretrain(
 
     if mesh is not None:
         # pad + place params BEFORE optimizer init so moments match shapes
-        params = shard_params(params, mesh)
+        # (and inherit the fsdp shardings — the ZeRO memory win)
+        params = shard_params(params, mesh, fsdp=run_cfg.fsdp)
     tx = make_optimizer(
         params,
         learning_rate=run_cfg.learning_rate,

@@ -54,10 +54,10 @@ def _batch(seed):
     }
 
 
-def _run(mesh):
+def _run(mesh, fsdp=False):
     params = _params()
     if mesh is not None:
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, fsdp=fsdp)
     tx = make_optimizer(params, learning_rate=1e-3, total_steps=4)
     state = init_train_state(params, tx, seed=7)
     if mesh is not None:
@@ -99,3 +99,39 @@ def test_sharded_step_matches_single_device():
     dec_s = np.asarray(state_s.params["cls"]["predictions"]["entity_decoder"]["kernel"])
     np.testing.assert_allclose(dec_s[:, : dec_1.shape[1]], dec_1,
                                atol=2e-6, rtol=1e-5)
+
+
+def test_fsdp_step_matches_single_device(monkeypatch):
+    """ZeRO-3-style full param sharding must not change the math, and the
+    optimizer moments must inherit the data-axis shardings."""
+    from stonkgs_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "FSDP_MIN_SIZE", 512)
+    state_1, losses_1 = _run(None)
+    state_f, losses_f = _run(make_mesh(n_data=4, n_model=2), fsdp=True)
+
+    np.testing.assert_allclose(losses_f, losses_1, rtol=1e-5)
+    for path in (("trunk", "encoder", "attention", "query", "kernel"),
+                 ("trunk", "embeddings", "word_embeddings"),
+                 ("cls", "seq_relationship", "kernel")):
+        a, b = state_1.params, state_f.params
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-6, rtol=1e-5,
+                                   err_msg="/".join(path))
+
+    # params AND AdamW moments are actually sharded over the data axis
+    from jax.sharding import PartitionSpec as P
+
+    def spec_of(x):
+        return getattr(x.sharding, "spec", P())
+
+    qk = state_f.params["trunk"]["encoder"]["attention"]["query"]["kernel"]
+    assert "data" in tuple(spec_of(qk)), spec_of(qk)
+    sharded_moments = [
+        s for s in jax.tree.leaves(
+            state_f.opt_state, is_leaf=lambda x: hasattr(x, "sharding"))
+        if hasattr(s, "sharding") and "data" in tuple(spec_of(s))
+    ]
+    assert sharded_moments, "no optimizer moment is data-sharded under fsdp"
