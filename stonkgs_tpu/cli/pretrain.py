@@ -51,27 +51,6 @@ def load_preprocessed_dataset(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def resolve_train_impl(remat="auto", attention_impl="auto"):
-    """Resolve "auto" training knobs to the measured-best configuration.
-
-    On TPU, the Pallas custom-VJP flash attention plus selective
-    (attention-only) rematerialization is the fastest full-scale
-    configuration measured (PERF.md round 2: 163 vs 105 examples/s/chip at
-    per-chip batch 64); elsewhere the XLA attention with full-layer remat
-    is the safe default.
-    """
-    import jax
-
-    on_tpu = jax.default_backend() == "tpu"
-    if attention_impl in (None, "auto"):
-        attention_impl = "flash" if on_tpu else "xla"
-    if remat in (None, "auto", True):
-        remat = "attention" if attention_impl == "flash" else "full"
-    if remat == "none":
-        remat = False
-    return remat, attention_impl
-
-
 def run_pretraining(
     dataset_path: str,
     *,
@@ -122,6 +101,8 @@ def run_pretraining(
             save_steps=save_steps, save_total_limit=save_total_limit,
             output_dir=output_dir, compute_dtype=compute_dtype,
             remat=remat not in (False, "none"), seed=seed)
+
+    from stonkgs_tpu.train.pretraining import resolve_train_impl
 
     remat, attention_impl = resolve_train_impl(remat, attention_impl)
 

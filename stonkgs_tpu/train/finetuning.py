@@ -88,6 +88,10 @@ class FinetuneConfig:
     seed: int = 42
     compute_dtype: str = "bfloat16"
     eval_batch_size: int = 64
+    # "auto" = flash attention + selective remat on TPU (see
+    # train.pretraining.resolve_train_impl)
+    remat: str = "auto"
+    attention_impl: str = "auto"
 
 
 def encode_labels(labels_str) -> tuple[np.ndarray, dict, dict]:
@@ -137,9 +141,16 @@ def train_classifier(
         max_grad_norm=run_cfg.max_grad_norm,
     )
     state = init_train_state(params, tx, seed=rng_seed)
+    if loss_fn is None:
+        from stonkgs_tpu.train.pretraining import resolve_train_impl
+
+        remat, attention_impl = resolve_train_impl(
+            run_cfg.remat, run_cfg.attention_impl)
+        loss_fn = partial(stonkgs.classification_loss, remat=remat,
+                          attention_impl=attention_impl)
     step_fn = make_train_step(
         cfg, tx,
-        loss_fn=loss_fn if loss_fn is not None else stonkgs.classification_loss,
+        loss_fn=loss_fn,
         compute_dtype=getattr(jnp, run_cfg.compute_dtype),
         grad_accumulation_steps=run_cfg.gradient_accumulation,
         mesh=mesh,

@@ -61,6 +61,25 @@ def init_train_state(
     )
 
 
+def resolve_train_impl(remat="auto", attention_impl="auto"):
+    """Resolve "auto" training knobs to the measured-best configuration.
+
+    On TPU, the Pallas custom-VJP flash attention plus selective
+    (attention-only) rematerialization is the fastest full-scale
+    configuration measured (PERF.md round 2: 163 vs 105 examples/s/chip at
+    per-chip batch 64); elsewhere the XLA attention with full-layer remat
+    is the safe default.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if attention_impl in (None, "auto"):
+        attention_impl = "flash" if on_tpu else "xla"
+    if remat in (None, "auto", True):
+        remat = "attention" if attention_impl == "flash" else "full"
+    if remat == "none":
+        remat = False
+    return remat, attention_impl
+
+
 def make_train_step(
     cfg: STonKGsConfig,
     tx: optax.GradientTransformation,
