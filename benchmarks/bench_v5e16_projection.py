@@ -54,9 +54,13 @@ def main(batch_size: int = 64, steps: int = 10, kg_vocab: int = 100_000,
     params = init_params(cfg)
     grad_bytes = trainable_grad_bytes(params)
 
+    from stonkgs_tpu.train.pretraining import resolve_train_impl
+
+    remat, attention_impl = resolve_train_impl()
     tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
     state = init_train_state(params, tx)
-    step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16, remat=True)
+    step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
+                              remat=remat, attention_impl=attention_impl)
     batch = synthetic_batch(cfg, batch_size, with_pretraining_labels=True)
     _, dt = timed_train_steps(step_fn, state, batch, steps=steps)
 
