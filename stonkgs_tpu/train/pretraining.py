@@ -139,14 +139,20 @@ def make_train_step(
                 m_acc = jax.tree.map(jnp.add, m_acc, m)
                 return (g_acc, m_acc), None
 
+            # scan over ALL micro-batches from zero accumulators (the
+            # metrics structure comes from eval_shape, which costs
+            # nothing) — special-casing the first micro-batch outside the
+            # scan kept an extra full fp32 gradient tree alive
+            (_, m_shape), _ = jax.eval_shape(
+                grad_fn, state.params,
+                jax.tree.map(lambda x: x[0], micro), rngs[0])
             zero_g = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
-            (_, m0), g0 = grad_fn(state.params, jax.tree.map(lambda x: x[0], micro), rngs[0])
+            zero_m = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
             (grads, metrics), _ = jax.lax.scan(
-                body, (jax.tree.map(jnp.add, zero_g, g0), m0),
-                (jax.tree.map(lambda x: x[1:], micro), rngs[1:]),
-            )
+                body, (zero_g, zero_m), (micro, rngs))
             inv = 1.0 / grad_accumulation_steps
             grads = jax.tree.map(lambda g: g * inv, grads)
             metrics = jax.tree.map(lambda m: m * inv, metrics)
