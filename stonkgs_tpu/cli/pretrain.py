@@ -93,7 +93,16 @@ def run_pretraining(
                 sum(v.nbytes for v in features.values()) / 1e6)
 
     if variant == "prot":
-        # the BigBird trunk supports full-layer remat only
+        # the BigBird trunk supports full-layer remat only; its attention
+        # impls resolve internally (flash backbone + Pallas block-sparse
+        # on TPU), so --attention/--fsdp do not apply
+        if attention_impl not in (None, "auto"):
+            logger.warning("--attention %s is ignored for variant=prot "
+                           "(the BigBird trunk selects its own kernels)",
+                           attention_impl)
+        if fsdp:
+            logger.warning("--fsdp is ignored for variant=prot "
+                           "(single-device prot training only)")
         return _run_prot_pretraining(
             features, kg_embedding_path=kg_embedding_path,
             batch_size=batch_size, lr=lr, max_steps=max_steps,
@@ -101,10 +110,6 @@ def run_pretraining(
             save_steps=save_steps, save_total_limit=save_total_limit,
             output_dir=output_dir, compute_dtype=compute_dtype,
             remat=remat not in (False, "none"), seed=seed)
-
-    from stonkgs_tpu.train.pretraining import resolve_train_impl
-
-    remat, attention_impl = resolve_train_impl(remat, attention_impl)
 
     # infer the layout from the data
     if variant == "transe":
@@ -176,6 +181,10 @@ def run_pretraining(
         max_data = len(jax.devices()) // n_model_shards
         n_data = max(d for d in range(1, max_data + 1) if batch_size % d == 0)
         mesh = make_mesh(n_data=n_data, n_model=n_model_shards)
+
+    from stonkgs_tpu.train.pretraining import resolve_train_impl
+
+    remat, attention_impl = resolve_train_impl(remat, attention_impl, mesh)
 
     run_cfg = PretrainingConfig(
         learning_rate=lr, max_steps=max_steps,

@@ -73,13 +73,14 @@ def param_pspec(path: str) -> P:
     return P()
 
 
-# leaves smaller than this stay replicated under fsdp (biases, LayerNorms)
+# leaves smaller than this stay replicated under fsdp (biases, LayerNorms);
+# default for the fsdp_min_size parameters below
 FSDP_MIN_SIZE = 65_536
 
 
-def _fsdp_spec(shape, n_data: int) -> P:
+def _fsdp_spec(shape, n_data: int, min_size: int) -> P:
     """Shard the largest ``n_data``-divisible dim on the data axis."""
-    if int(np.prod(shape)) < FSDP_MIN_SIZE:
+    if int(np.prod(shape)) < min_size:
         return P()
     best = None
     for axis, size in enumerate(shape):
@@ -93,9 +94,11 @@ def _fsdp_spec(shape, n_data: int) -> P:
 
 
 def _tree_paths_and_specs(params, mesh: Optional[Mesh] = None,
-                          fsdp: bool = False):
+                          fsdp: bool = False,
+                          fsdp_min_size: Optional[int] = None):
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     n_data = mesh.shape[DATA_AXIS] if mesh is not None else 1
+    min_size = FSDP_MIN_SIZE if fsdp_min_size is None else fsdp_min_size
     specs = []
     for path, leaf in flat:
         path_str = "/".join(
@@ -103,14 +106,15 @@ def _tree_paths_and_specs(params, mesh: Optional[Mesh] = None,
         )
         spec = param_pspec(path_str)
         if fsdp and spec == P() and n_data > 1:
-            spec = _fsdp_spec(np.shape(leaf), n_data)
+            spec = _fsdp_spec(np.shape(leaf), n_data, min_size)
         specs.append(spec)
     return treedef, specs
 
 
-def param_shardings(params, mesh: Mesh, fsdp: bool = False):
+def param_shardings(params, mesh: Mesh, fsdp: bool = False,
+                    fsdp_min_size: Optional[int] = None):
     """NamedSharding tree matching ``params``' structure."""
-    treedef, specs = _tree_paths_and_specs(params, mesh, fsdp)
+    treedef, specs = _tree_paths_and_specs(params, mesh, fsdp, fsdp_min_size)
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, s) for s in specs]
     )
@@ -153,14 +157,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_params(params, mesh: Mesh, fsdp: bool = False):
+def shard_params(params, mesh: Mesh, fsdp: bool = False,
+                 fsdp_min_size: Optional[int] = None):
     """Place a parameter tree on the mesh with its canonical shardings.
 
     Pads model-sharded dims as needed (see ``pad_params_for_mesh``);
     ``fsdp=True`` fully shards large replicated params over the data axis
-    (ZeRO-3-style; optimizer moments inherit the shardings)."""
+    (ZeRO-3-style; optimizer moments inherit the shardings). Leaves
+    smaller than ``fsdp_min_size`` (default ``FSDP_MIN_SIZE``) stay
+    replicated."""
     params = pad_params_for_mesh(params, mesh)
-    return jax.device_put(params, param_shardings(params, mesh, fsdp))
+    return jax.device_put(
+        params, param_shardings(params, mesh, fsdp, fsdp_min_size))
 
 
 def shard_batch(batch, mesh: Mesh):

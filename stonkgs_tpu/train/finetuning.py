@@ -145,7 +145,7 @@ def train_classifier(
         from stonkgs_tpu.train.pretraining import resolve_train_impl
 
         remat, attention_impl = resolve_train_impl(
-            run_cfg.remat, run_cfg.attention_impl)
+            run_cfg.remat, run_cfg.attention_impl, mesh)
         loss_fn = partial(stonkgs.classification_loss, remat=remat,
                           attention_impl=attention_impl)
     step_fn = make_train_step(

@@ -61,18 +61,27 @@ def init_train_state(
     )
 
 
-def resolve_train_impl(remat="auto", attention_impl="auto"):
+def resolve_train_impl(remat="auto", attention_impl="auto",
+                       mesh: Optional[Mesh] = None):
     """Resolve "auto" training knobs to the measured-best configuration.
 
-    On TPU, the Pallas custom-VJP flash attention plus selective
-    (attention-only) rematerialization is the fastest full-scale
-    configuration measured (PERF.md round 2: 163 vs 105 examples/s/chip at
-    per-chip batch 64); elsewhere the XLA attention with full-layer remat
-    is the safe default.
+    On a single TPU chip, the Pallas custom-VJP flash attention plus
+    selective (attention-only) rematerialization is the fastest
+    full-scale configuration measured (PERF.md round 2: 163 vs 105
+    examples/s/chip at per-chip batch 64); elsewhere the XLA attention
+    with full-layer remat is the safe default.
+
+    "auto" does NOT pick the Pallas kernel on a multi-device ``mesh``:
+    the Mosaic custom call has no GSPMD partitioning rule, so under pjit
+    it would be replicated rather than sharded (and the in-kernel dropout
+    seed would correlate across data shards). Pass
+    ``attention_impl="flash"`` explicitly to override (e.g. under
+    shard_map, where the kernel sees only its local shard).
     """
     on_tpu = jax.default_backend() == "tpu"
+    single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
     if attention_impl in (None, "auto"):
-        attention_impl = "flash" if on_tpu else "xla"
+        attention_impl = "flash" if (on_tpu and single) else "xla"
     if remat in (None, "auto", True):
         remat = "attention" if attention_impl == "flash" else "full"
     if remat == "none":
@@ -191,6 +200,8 @@ class PretrainingConfig:
     # fully shard params/grads/optimizer over the data axis (ZeRO-3-style;
     # the reference's DeepSpeed config stops at stage 2)
     fsdp: bool = False
+    # smallest leaf (elements) fsdp shards; None = mesh.FSDP_MIN_SIZE
+    fsdp_min_size: Optional[int] = None
 
     @property
     def batch_size(self) -> int:
@@ -244,7 +255,8 @@ def pretrain(
     if mesh is not None:
         # pad + place params BEFORE optimizer init so moments match shapes
         # (and inherit the fsdp shardings — the ZeRO memory win)
-        params = shard_params(params, mesh, fsdp=run_cfg.fsdp)
+        params = shard_params(params, mesh, fsdp=run_cfg.fsdp,
+                              fsdp_min_size=run_cfg.fsdp_min_size)
     tx = make_optimizer(
         params,
         learning_rate=run_cfg.learning_rate,
@@ -274,13 +286,15 @@ def pretrain(
             state = restored
             start_step = int(state.step)
 
+    remat, attention_impl = resolve_train_impl(
+        run_cfg.remat, run_cfg.attention_impl, mesh)
     step_fn = make_train_step(
         cfg, tx,
         loss_fn=loss_fn,
         compute_dtype=getattr(jnp, run_cfg.compute_dtype),
         grad_accumulation_steps=run_cfg.grad_accumulation_steps,
-        remat=run_cfg.remat,
-        attention_impl=run_cfg.attention_impl,
+        remat=remat,
+        attention_impl=attention_impl,
         mesh=mesh,
     )
 

@@ -57,7 +57,7 @@ def _batch(seed):
 def _run(mesh, fsdp=False):
     params = _params()
     if mesh is not None:
-        params = shard_params(params, mesh, fsdp=fsdp)
+        params = shard_params(params, mesh, fsdp=fsdp, fsdp_min_size=512)
     tx = make_optimizer(params, learning_rate=1e-3, total_steps=4)
     state = init_train_state(params, tx, seed=7)
     if mesh is not None:
@@ -101,12 +101,9 @@ def test_sharded_step_matches_single_device():
                                atol=2e-6, rtol=1e-5)
 
 
-def test_fsdp_step_matches_single_device(monkeypatch):
+def test_fsdp_step_matches_single_device():
     """ZeRO-3-style full param sharding must not change the math, and the
     optimizer moments must inherit the data-axis shardings."""
-    from stonkgs_tpu.parallel import mesh as mesh_mod
-
-    monkeypatch.setattr(mesh_mod, "FSDP_MIN_SIZE", 512)
     state_1, losses_1 = _run(None)
     state_f, losses_f = _run(make_mesh(n_data=4, n_model=2), fsdp=True)
 
