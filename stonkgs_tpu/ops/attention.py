@@ -1,10 +1,16 @@
 """Multi-head attention ops.
 
-Two implementations behind one API:
+Implementations behind one API:
   * ``impl="xla"`` — einsum softmax attention; XLA fuses it well at seq 512.
-  * ``impl="flash"`` — Pallas blockwise flash-attention kernel
-    (``stonkgs_tpu.ops.flash_attention``), used on TPU for long sequences
-    (ProtSTonKGs, 4096 tokens) and to cut HBM traffic at 512.
+  * ``impl="flash"`` — Pallas blockwise flash-attention kernel with a
+    custom VJP (``stonkgs_tpu.ops.flash_attention``), used on TPU for long
+    sequences (ProtSTonKGs, 4096 tokens) and for training (no S² HBM
+    residuals).
+  * ``impl=("flash", mesh)`` — the same kernel wrapped in ``shard_map``
+    over the mesh's data axis: each shard runs the kernel on its local
+    batch (GSPMD has no partitioning rule for the Mosaic custom call), and
+    the in-kernel dropout seed is folded with the shard index so masks
+    decorrelate across the fleet.
 
 Replaces the reference's reliance on torch ATen attention inside HF BERT
 (``/root/reference/src/stonkgs/models/stonkgs_model.py:204-210``).
@@ -20,6 +26,37 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _sharded_flash(
+    mesh, q, k, v, bias, dropout_rate, dropout_rng,
+):
+    from jax.sharding import PartitionSpec as P
+
+    from stonkgs_tpu.ops.flash_attention import flash_attention_train
+    from stonkgs_tpu.parallel.mesh import DATA_AXIS
+
+    batch_spec = P(DATA_AXIS)  # shard dim 0 (batch); replicate the rest
+    # materialize optional args so the spec pytrees are static
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], 1, 1, q.shape[1]), jnp.float32)
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)  # unused when rate == 0
+
+    def local(q, k, v, bias, rng):
+        # decorrelate the in-kernel dropout streams across data shards
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        return flash_attention_train(
+            q, k, v, bias=bias,
+            dropout_rate=dropout_rate, dropout_rng=rng,
+        )
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(batch_spec, batch_spec, batch_spec, batch_spec, P()),
+        out_specs=batch_spec,
+        check_vma=False,
+    )(q, k, v, bias, dropout_rng)
+
+
 def dot_product_attention(
     q: Array,  # (B, S, H, D)
     k: Array,  # (B, S, H, D)
@@ -30,21 +67,30 @@ def dot_product_attention(
     dropout_rng: Optional[Array] = None,
     deterministic: bool = True,
     precision=None,
-    impl: str = "xla",
+    impl="xla",
 ) -> Array:
     """Scaled dot-product attention. Returns (B, S, H, D)."""
-    if impl == "flash":
+    if impl == "flash" or (isinstance(impl, tuple) and impl[0] == "flash"):
+        rate = 0.0 if deterministic else dropout_rate
+        mesh = impl[1] if isinstance(impl, tuple) else None
+        if mesh is not None and np_prod_mesh(mesh) > 1:
+            return _sharded_flash(mesh, q, k, v, bias, rate, dropout_rng)
         from stonkgs_tpu.ops.flash_attention import flash_attention_train
         return flash_attention_train(
-            q, k, v, bias=bias,
-            dropout_rate=0.0 if deterministic else dropout_rate,
-            dropout_rng=dropout_rng,
+            q, k, v, bias=bias, dropout_rate=rate, dropout_rng=dropout_rng,
         )
     return _xla_attention(
         q, k, v, bias,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,
         deterministic=deterministic, precision=precision,
     )
+
+
+def np_prod_mesh(mesh) -> int:
+    n = 1
+    for v in mesh.shape.values():
+        n *= int(v)
+    return n
 
 
 def _xla_attention(

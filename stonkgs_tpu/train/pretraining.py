@@ -71,19 +71,22 @@ def resolve_train_impl(remat="auto", attention_impl="auto",
     examples/s/chip at per-chip batch 64); elsewhere the XLA attention
     with full-layer remat is the safe default.
 
-    "auto" does NOT pick the Pallas kernel on a multi-device ``mesh``:
-    the Mosaic custom call has no GSPMD partitioning rule, so under pjit
-    it would be replicated rather than sharded (and the in-kernel dropout
-    seed would correlate across data shards). Pass
-    ``attention_impl="flash"`` explicitly to override (e.g. under
-    shard_map, where the kernel sees only its local shard).
+    On a multi-device ``mesh``, "auto"/"flash" resolve to
+    ``("flash", mesh)``: the Mosaic custom call has no GSPMD partitioning
+    rule, so the kernel runs under ``shard_map`` over the data axis — each
+    shard computes its local batch and the in-kernel dropout seed is
+    folded with the shard index (``ops.attention._sharded_flash``;
+    equivalence pinned in ``test_sharding_equivalence.py``).
     """
     on_tpu = jax.default_backend() == "tpu"
     single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
     if attention_impl in (None, "auto"):
-        attention_impl = "flash" if (on_tpu and single) else "xla"
+        attention_impl = "flash" if on_tpu else "xla"
+    if attention_impl == "flash" and not single:
+        attention_impl = ("flash", mesh)
+    is_flash = attention_impl == "flash" or isinstance(attention_impl, tuple)
     if remat in (None, "auto", True):
-        remat = "attention" if attention_impl == "flash" else "full"
+        remat = "attention" if is_flash else "full"
     if remat == "none":
         remat = False
     return remat, attention_impl

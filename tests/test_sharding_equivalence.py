@@ -54,7 +54,7 @@ def _batch(seed):
     }
 
 
-def _run(mesh, fsdp=False):
+def _run(mesh, fsdp=False, attention_impl="xla"):
     params = _params()
     if mesh is not None:
         params = shard_params(params, mesh, fsdp=fsdp, fsdp_min_size=512)
@@ -68,7 +68,8 @@ def _run(mesh, fsdp=False):
             opt_state=replicate_unsharded(state.opt_state, mesh),
         )
     step_fn = make_train_step(CFG, tx, compute_dtype=jnp.float32,
-                              mesh=mesh, donate=False)
+                              mesh=mesh, donate=False,
+                              attention_impl=attention_impl)
     losses = []
     for s in range(2):
         batch = _batch(s)
@@ -98,6 +99,20 @@ def test_sharded_step_matches_single_device():
     dec_1 = np.asarray(state_1.params["cls"]["predictions"]["entity_decoder"]["kernel"])
     dec_s = np.asarray(state_s.params["cls"]["predictions"]["entity_decoder"]["kernel"])
     np.testing.assert_allclose(dec_s[:, : dec_1.shape[1]], dec_1,
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_sharded_flash_attention_matches_single_device():
+    """impl=("flash", mesh): the Pallas kernel under shard_map over the
+    data axis must reproduce the single-device flash step."""
+    state_1, losses_1 = _run(None, attention_impl="flash")
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_s, losses_s = _run(mesh, attention_impl=("flash", mesh))
+
+    np.testing.assert_allclose(losses_s, losses_1, rtol=1e-5)
+    a = state_1.params["trunk"]["encoder"]["attention"]["query"]["kernel"]
+    b = state_s.params["trunk"]["encoder"]["attention"]["query"]["kernel"]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                atol=2e-6, rtol=1e-5)
 
 
