@@ -37,7 +37,7 @@ from stonkgs_tpu.train.pretraining import (  # noqa: E402
 
 
 def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
-         remat="full"):
+         remat="full", attention_impl="xla"):
     cfg = full_scale_config(kg_vocab)
     params = init_params(cfg)
     batch = synthetic_batch(cfg, batch_size, with_pretraining_labels=True)
@@ -45,13 +45,14 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
     def loss_fn(params, batch):
         loss, _ = stonkgs.pretraining_loss(
             params, cfg, batch, deterministic=True,
-            compute_dtype=jnp.bfloat16, remat=remat)
+            compute_dtype=jnp.bfloat16, remat=remat,
+            attention_impl=attention_impl)
         return loss
 
     # 1. forward only
     dt = timed_op(jax.jit(lambda p, b: loss_fn(p, b)[None]), (params, batch),
                   steps=steps)
-    emit(f"train breakdown: fwd only (B={batch_size}, remat={remat})",
+    emit(f"train breakdown: fwd only (B={batch_size}, remat={remat}, attn={attention_impl})",
          batch_size / dt, "examples/sec", ms=round(dt * 1e3, 1))
 
     # 2. grad, no optimizer. Reduce over ALL gradient leaves — returning a
@@ -63,7 +64,7 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
 
     gf = jax.jit(lambda p, b: _gradsum(jax.grad(loss_fn)(p, b)))
     dt = timed_op(gf, (params, batch), steps=steps)
-    emit(f"train breakdown: fwd+bwd (B={batch_size}, remat={remat})",
+    emit(f"train breakdown: fwd+bwd (B={batch_size}, remat={remat}, attn={attention_impl})",
          batch_size / dt, "examples/sec", ms=round(dt * 1e3, 1))
 
     # 3. full step
@@ -73,11 +74,12 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
     # ablations reuse (donation deleted the buffers -> "Array has been
     # deleted" on the first run of this script)
     step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
-                              remat=remat, donate=False)
+                              remat=remat, attention_impl=attention_impl,
+                              donate=False)
     from _util import timed_train_steps
 
     state, dt = timed_train_steps(step_fn, state, batch, steps=steps)
-    emit(f"train breakdown: full step (B={batch_size}, remat={remat})",
+    emit(f"train breakdown: full step (B={batch_size}, remat={remat}, attn={attention_impl})",
          batch_size / dt, "examples/sec", ms=round(dt * 1e3, 1))
     del state, step_fn, tx
 
@@ -94,7 +96,7 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
             attention_mask=batch["attention_mask"],
             token_type_ids=batch["token_type_ids"],
             deterministic=True, compute_dtype=jnp.bfloat16,
-            remat=remat, with_pooler=True)
+            remat=remat, attention_impl=attention_impl, with_pooler=True)
         p = params["cls"]["predictions"]
         from stonkgs_tpu.models.heads import elm_decode_segment, elm_transform
         from stonkgs_tpu.ops.losses import gather_masked_positions
@@ -118,7 +120,7 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
     gf = jax.jit(lambda p, e, b: _gradsum(jax.grad(loss_nofrozen)(p, e, b)))
     dt = timed_op(gf, (params, embeds, batch), steps=steps)
     emit(f"train breakdown: fwd+bwd minus frozen backbones (B={batch_size}, "
-         f"remat={remat})",
+         f"remat={remat}, attn={attention_impl})",
          batch_size / dt, "examples/sec", ms=round(dt * 1e3, 1))
 
     # 5. grad with the MLM/ELM decoders ablated (NSP-only loss)
@@ -134,7 +136,7 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
     gf = jax.jit(lambda p, b: _gradsum(jax.grad(loss_nsp)(p, b)))
     dt = timed_op(gf, (params, batch), steps=steps)
     emit(f"train breakdown: fwd+bwd minus MLM/ELM heads (B={batch_size}, "
-         f"remat={remat})",
+         f"remat={remat}, attn={attention_impl})",
          batch_size / dt, "examples/sec", ms=round(dt * 1e3, 1))
 
 
@@ -145,6 +147,7 @@ if __name__ == "__main__":
     ap.add_argument("--kg-vocab", type=int, default=100_000)
     ap.add_argument("--remat", default="full",
                     choices=["none", "full", "attention"])
+    ap.add_argument("--attention", default="xla", choices=["xla", "flash"])
     a = ap.parse_args()
     main(a.batch_size, a.steps, a.kg_vocab,
-         False if a.remat == "none" else a.remat)
+         False if a.remat == "none" else a.remat, a.attention)
