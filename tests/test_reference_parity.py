@@ -471,3 +471,167 @@ def test_preprocess_fine_tuning_data_parity(ref, tmp_path):
         ref_arr = np.asarray([list(v) for v in ref_df[col]])
         np.testing.assert_array_equal(ref_arr, ours[col], err_msg=col)
     np.testing.assert_array_equal(np.asarray(ref_df["labels"]), ours["labels"])
+
+
+def test_transestonkgs_pretraining_parity(ref, tmp_path):
+    """TransESTonKGs parity vs the reference's own class: the model forces
+    ``max_position_embeddings=260`` with a 256+[h,r,t,SEP] layout
+    (``transestonkgs_model.py:70-137``), so the LM backbone fixture needs
+    >= 256 positions."""
+    mod = load_reference_module("stonkgs.models.transestonkgs_model")
+
+    biobert = tmp_path / "biobert300"
+    hf_cfg = transformers.BertConfig(
+        vocab_size=VOCAB, hidden_size=HID, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=300, type_vocab_size=2,
+    )
+    torch.manual_seed(29)
+    transformers.BertModel(hf_cfg).save_pretrained(biobert)
+    _write_vocab(biobert / "vocab.txt", VOCAB)
+
+    torch.manual_seed(31)
+    model = mod.TransESTonKGsForPreTraining(
+        config=None, nlp_model_type=str(biobert),
+        kg_embedding_dict_path=ref["kg_path"])
+    model.eval()
+
+    rng = np.random.default_rng(33)
+    B, text_len, ent_len = 2, 256, 4
+    text = rng.integers(0, VOCAB, (B, text_len))
+    ent = rng.integers(0, KGN + 3, (B, ent_len))
+    ids = np.concatenate([text, ent], axis=1).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[:, text_len - 5: text_len] = 0
+    tt = np.concatenate(
+        [np.zeros((B, text_len), np.int64), np.ones((B, ent_len), np.int64)],
+        axis=1)
+    mlm = np.full((B, text_len), -100, np.int64)
+    elm = np.full((B, ent_len), -100, np.int64)
+    mlm[:, 1:4] = rng.integers(0, VOCAB, (B, 3))
+    elm[:, 1:2] = rng.integers(0, KGN, (B, 1))
+    nsp = rng.integers(0, 2, (B,)).astype(np.int64)
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            token_type_ids=torch.tensor(tt),
+            masked_lm_labels=torch.tensor(mlm),
+            ent_masked_lm_labels=torch.tensor(elm),
+            next_sentence_labels=torch.tensor(nsp),
+            return_dict=True)
+    t_mlm, t_elm = out.prediction_logits
+
+    cfg = STonKGsConfig(
+        bert=BertConfig(
+            vocab_size=VOCAB, hidden_size=HID, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=INTER,
+            max_position_embeddings=260,
+        ),
+        kg_vocab_size=KGN, text_len=text_len, entity_len=ent_len,
+    )
+    params = _convert(model, cfg, ref["kg_vecs"])
+    j_mlm, j_elm, j_nsp, j_pool = stonkgs.pretraining_logits(
+        params, cfg, ids, mask, tt)
+    batch = {
+        "input_ids": ids, "attention_mask": mask, "token_type_ids": tt,
+        "masked_lm_labels": mlm, "ent_masked_lm_labels": elm,
+        "next_sentence_labels": nsp,
+    }
+    j_loss, _ = stonkgs.pretraining_loss(params, cfg, batch, dense_heads=True)
+
+    for name, t, j in [("mlm", t_mlm, j_mlm), ("elm", t_elm, j_elm),
+                       ("nsp", out.seq_relationship_logits, j_nsp),
+                       ("pool", out.pooler_output, j_pool)]:
+        d = np.abs(t.numpy() - np.asarray(j)).max()
+        assert d < 1e-5, f"{name} max dev {d}"
+    assert abs(float(out.loss) - float(j_loss)) < 1e-5
+
+
+def test_protstonkgs_classification_parity(ref):
+    """ProtSTonKGs sequence classification vs the reference's own class
+    (``protstonkgs_finetuning.py:241-372``)."""
+    pre = load_reference_module("stonkgs.models.protstonkgs_model")
+    ftm = load_reference_module("stonkgs.models.protstonkgs_finetuning")
+
+    class _FakeBigBirdTok:
+        sep_token_id, mask_token_id, unk_token_id = 66, 67, 100
+
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            return cls()
+
+    kg_start, prot_start, seq_len = 24, 32, 48
+    num_labels = 3
+    bb_cfg = transformers.BigBirdConfig.from_pretrained(ref["bigbird"])
+    bb_cfg.num_labels = num_labels
+
+    orig = pre.BigBirdTokenizer
+    pre.BigBirdTokenizer = _FakeBigBirdTok
+    try:
+        torch.manual_seed(37)
+        model = ftm.ProtSTonKGsForSequenceClassification(
+            bb_cfg,
+            protstonkgs_model_type=ref["bigbird"],
+            lm_model_type=ref["biobert"],
+            lm_vocab_size=VOCAB,
+            prot_start_idx=prot_start,
+            prot_model_type=ref["protbert"],
+            prot_vocab_size=30,
+            kg_start_idx=kg_start,
+            kg_embedding_dict_path=ref["kg_path"])
+        model.eval()
+    finally:
+        pre.BigBirdTokenizer = orig
+
+    rng = np.random.default_rng(41)
+    B = 2
+    text = rng.integers(0, VOCAB, (B, kg_start))
+    ent = rng.integers(0, KGN + 3, (B, prot_start - kg_start))
+    prot = rng.integers(0, 30, (B, seq_len - prot_start))
+    ids = np.concatenate([text, ent, prot], axis=1).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[:, seq_len - 3:] = 0
+    labels = rng.integers(0, num_labels, (B,)).astype(np.int64)
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            labels=torch.tensor(labels), return_dict=True)
+
+    cfg = ProtSTonKGsConfig(
+        trunk=BigBirdConfig(
+            vocab_size=90, hidden_size=HID, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=INTER,
+            max_position_embeddings=64, attention_type="original_full",
+            block_size=4, num_random_blocks=2,
+        ),
+        lm=BertConfig(
+            vocab_size=VOCAB, hidden_size=HID, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=INTER,
+            max_position_embeddings=MAXPOS,
+        ),
+        prot=BertConfig(
+            vocab_size=30, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=48,
+            max_position_embeddings=MAXPOS,
+        ),
+        lm_vocab_size=VOCAB, kg_vocab_size=KGN, prot_vocab_size=30,
+        kg_start_idx=kg_start, prot_start_idx=prot_start, seq_len=seq_len,
+        sep_id=66, mask_id=67, unk_id=100, num_labels=num_labels,
+    )
+    sd = {k: v for k, v in model.state_dict().items()}
+    params = protstonkgs_params_from_state_dict(sd, cfg)
+    params["kg_backbone"] = protstonkgs.build_kg_table(
+        params["lm_backbone"], cfg, ref["kg_vecs"])
+
+    batch = {"input_ids": ids, "attention_mask": mask, "labels": labels}
+    j_logits = protstonkgs.classification_logits(
+        params, cfg, batch,
+        trunk_attention_impl="xla", prot_attention_impl="xla")
+    j_loss, _ = protstonkgs.classification_loss(
+        params, cfg, batch,
+        trunk_attention_impl="xla", prot_attention_impl="xla")
+    d = np.abs(out.logits.numpy() - np.asarray(j_logits)).max()
+    assert d < 1e-5, f"logits max dev {d}"
+    assert abs(float(out.loss) - float(j_loss)) < 1e-5
