@@ -635,3 +635,69 @@ def test_protstonkgs_classification_parity(ref):
     d = np.abs(out.logits.numpy() - np.asarray(j_logits)).max()
     assert d < 1e-5, f"logits max dev {d}"
     assert abs(float(out.loss) - float(j_loss)) < 1e-5
+
+
+def test_transestonkgs_classification_parity(ref, tmp_path):
+    """TransESTonKGs sequence classification vs the reference's own class
+    (``transestonkgs_finetuning.py:187-298``)."""
+    load_reference_module("stonkgs.models.transestonkgs_model")
+    ftm = load_reference_module("stonkgs.models.transestonkgs_finetuning")
+
+    biobert = tmp_path / "biobert300c"
+    hf_back = transformers.BertConfig(
+        vocab_size=VOCAB, hidden_size=HID, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=300, type_vocab_size=2,
+    )
+    torch.manual_seed(43)
+    transformers.BertModel(hf_back).save_pretrained(biobert)
+    _write_vocab(biobert / "vocab.txt", VOCAB)
+
+    num_labels = 4
+    trunk_cfg = transformers.BertConfig(
+        vocab_size=VOCAB, hidden_size=HID, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=260, type_vocab_size=2,
+        num_labels=num_labels,
+    )
+    torch.manual_seed(47)
+    model = ftm.TransESTonKGsForSequenceClassification(
+        trunk_cfg, nlp_model_type=str(biobert),
+        kg_embedding_dict_path=ref["kg_path"])
+    model.eval()
+
+    rng = np.random.default_rng(51)
+    B, text_len, ent_len = 2, 256, 4
+    text = rng.integers(0, VOCAB, (B, text_len))
+    ent = rng.integers(0, KGN + 3, (B, ent_len))
+    ids = np.concatenate([text, ent], axis=1).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[:, text_len - 7: text_len] = 0
+    tt = np.concatenate(
+        [np.zeros((B, text_len), np.int64), np.ones((B, ent_len), np.int64)],
+        axis=1)
+    labels = rng.integers(0, num_labels, (B,)).astype(np.int64)
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            token_type_ids=torch.tensor(tt), labels=torch.tensor(labels),
+            return_dict=True)
+
+    cfg = STonKGsConfig(
+        bert=BertConfig(
+            vocab_size=VOCAB, hidden_size=HID, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=INTER,
+            max_position_embeddings=260,
+        ),
+        kg_vocab_size=KGN, text_len=text_len, entity_len=ent_len,
+        num_labels=num_labels,
+    )
+    params = _convert(model, cfg, ref["kg_vecs"])
+    batch = {"input_ids": ids, "attention_mask": mask, "token_type_ids": tt,
+             "labels": labels}
+    j_logits = stonkgs.classification_logits(params, cfg, batch)
+    j_loss, _ = stonkgs.classification_loss(params, cfg, batch)
+    d = np.abs(out.logits.numpy() - np.asarray(j_logits)).max()
+    assert d < 1e-5, f"logits max dev {d}"
+    assert abs(float(out.loss) - float(j_loss)) < 1e-5
