@@ -290,6 +290,36 @@ def encoder_layer(
     return layer_norm(x + ff, lp["output_layer_norm"], cfg.layer_norm_eps)
 
 
+def encoder_layer_cls(
+    x: Array,
+    lp: dict,
+    cfg: BertConfig,
+    attn_bias: Optional[Array],
+    *,
+    precision=None,
+) -> Array:
+    """Final encoder layer restricted to the [CLS] query position.
+
+    The pooled output depends only on position 0 of the last layer, whose
+    attention needs all previous-layer positions as keys/values but only
+    one query row — the (S-1)/S share of the last layer's q-projection,
+    FFN, and LayerNorm work is skipped. Returns (B, 1, H).
+    """
+    B, S, H = x.shape
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    ap = lp["attention"]
+    x0 = x[:, :1]
+    q = dense(x0, ap["query"], precision).reshape(B, 1, nh, hd)
+    k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
+    v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
+    ctx = dot_product_attention(q, k, v, bias=attn_bias, precision=precision)
+    attn_out = dense(ctx.reshape(B, 1, H), ap["output"], precision)
+    x0 = layer_norm(x0 + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
+    ff = activation(cfg.hidden_act)(dense(x0, lp["intermediate"], precision))
+    ff = dense(ff, lp["output"], precision)
+    return layer_norm(x0 + ff, lp["output_layer_norm"], cfg.layer_norm_eps)
+
+
 def encode(
     params: dict,
     cfg: BertConfig,
@@ -301,6 +331,7 @@ def encode(
     precision=None,
     attention_impl: str = "xla",
     remat=False,
+    cls_only: bool = False,
 ) -> Array:
     """Run the stacked encoder with lax.scan over the layer axis.
 
@@ -308,10 +339,15 @@ def encode(
     layers), or "attention" (selective: recompute only the attention
     block's O(S^2) internals, save FFN activations — less recompute than
     full-layer remat, less memory than none).
+
+    ``cls_only``: compute the LAST layer only for the [CLS] position
+    (deterministic pooler paths) — returns (B, 1, H).
     """
     attn_bias = attention_bias_from_mask(attention_mask, jnp.float32)
     mode = "full" if remat is True else (remat or "none")
     assert mode in ("none", "full", "attention"), mode
+    if cls_only:
+        assert deterministic, "cls_only is an inference-path optimization"
 
     def body(carry, layer_in):
         x, rng = carry
@@ -332,7 +368,14 @@ def encode(
         body = jax.checkpoint(body)
 
     rng0 = dropout_rng if not deterministic else None
-    (out, _), _ = jax.lax.scan(body, (hidden, rng0), (params["encoder"],))
+    stacked = params["encoder"]
+    if cls_only:
+        head_layers = jax.tree.map(lambda x: x[:-1], stacked)
+        last = jax.tree.map(lambda x: x[-1], stacked)
+        (out, _), _ = jax.lax.scan(body, (hidden, rng0), (head_layers,))
+        return encoder_layer_cls(out, last, cfg, attn_bias,
+                                 precision=precision)
+    (out, _), _ = jax.lax.scan(body, (hidden, rng0), (stacked,))
     return out
 
 
@@ -358,8 +401,12 @@ def bert_model(
     attention_impl: str = "xla",
     remat: bool = False,
     with_pooler: bool = True,
+    cls_only: bool = False,
 ):
-    """Full BertModel forward: returns (sequence_output, pooled_output|None)."""
+    """Full BertModel forward: returns (sequence_output, pooled_output|None).
+
+    ``cls_only``: restrict the last encoder layer to the [CLS] position
+    (see ``encode``); the returned sequence output is (B, 1, H)."""
     if not deterministic and dropout_rng is not None:
         r_emb, r_enc = jax.random.split(dropout_rng)
     else:
@@ -373,6 +420,7 @@ def bert_model(
         params, cfg, hidden, attention_mask,
         deterministic=deterministic, dropout_rng=r_enc,
         precision=precision, attention_impl=attention_impl, remat=remat,
+        cls_only=cls_only,
     )
     pooled = pool(params, seq, precision) if (with_pooler and "pooler" in params) else None
     return seq, pooled

@@ -189,13 +189,17 @@ def trunk_forward(
     attention_impl: str = "xla",
     remat: bool = False,
     stop_backbone_gradients: bool = True,
+    cls_only: bool = False,
 ) -> Tuple[Array, Array]:
     """Backbones + trainable trunk. Returns (sequence_output, pooled_output).
 
     ``stop_backbone_gradients`` mirrors the reference's frozen backbones
     (``requires_grad=False``, ``stonkgs_model.py:113-114``): no gradients
     flow into the LM backbone or KG table, and XLA skips their backward
-    entirely."""
+    entirely.
+
+    ``cls_only``: compute the trunk's last layer only at the [CLS]
+    position (pooled-output paths; sequence output becomes (B, 1, H))."""
     if not deterministic and dropout_rng is not None:
         r_back, r_trunk = jax.random.split(dropout_rng)
     else:
@@ -216,6 +220,7 @@ def trunk_forward(
         deterministic=deterministic, dropout_rng=r_trunk,
         compute_dtype=compute_dtype, precision=precision,
         attention_impl=attention_impl, remat=remat, with_pooler=True,
+        cls_only=cls_only,
     )
     return seq, pooled
 
@@ -246,8 +251,11 @@ def pooler_output(params: dict, cfg: STonKGsConfig, batch: dict, **kw) -> Array:
     """Embedding-extraction path: pooled [CLS] output only (no heads).
 
     Batched replacement for ``get_stonkgs_embeddings``'s per-row loop
-    (reference: ``stonkgs_for_embeddings.py:176-184``).
+    (reference: ``stonkgs_for_embeddings.py:176-184``). The trunk's last
+    layer runs only at the [CLS] position (``cls_only`` — identical
+    pooled output, one fewer full layer of compute).
     """
+    kw.setdefault("cls_only", kw.get("deterministic", True))
     _, pooled = trunk_forward(
         params, cfg,
         batch["input_ids"], batch.get("attention_mask"),
@@ -336,6 +344,7 @@ def classification_logits(
         r_trunk, r_cls = jax.random.split(dropout_rng)
     else:
         r_trunk = r_cls = None
+    kw.setdefault("cls_only", deterministic)  # eval: skip last-layer rows
     _, pooled = trunk_forward(
         params, cfg,
         batch["input_ids"], batch.get("attention_mask"),
