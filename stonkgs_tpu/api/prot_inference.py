@@ -39,7 +39,8 @@ class ProtSTonKGsEngine:
         trunk_type = "original_full" if self.fast_trunk else None
         self._pooled = jax.jit(lambda p, batch: protstonkgs.trunk_forward(
             p, self.cfg, batch["input_ids"], batch.get("attention_mask"),
-            compute_dtype=dtype, trunk_attention_type=trunk_type)[1])
+            compute_dtype=dtype, trunk_attention_type=trunk_type,
+            cls_only=True)[1])
         self._classify = jax.jit(partial(
             protstonkgs.classification_logits, cfg=self.cfg,
             compute_dtype=dtype))

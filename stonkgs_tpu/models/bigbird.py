@@ -129,8 +129,14 @@ def bigbird_model(
     attention_type: Optional[str] = None,    # override cfg.attention_type
     attention_impl: str = "xla",             # dense path: "xla" | "flash"
     sparse_impl: str = "auto",               # sparse path: "auto"|"xla"|"pallas"
+    cls_only: bool = False,                  # last layer at [CLS] only
 ) -> Tuple[Array, Optional[Array]]:
-    """Full BigBirdModel forward -> (sequence_output, pooled)."""
+    """Full BigBirdModel forward -> (sequence_output, pooled).
+
+    ``cls_only`` computes the LAST layer only for the [CLS] query
+    (deterministic pooled paths). Exact under block-sparse semantics too:
+    the first query block attends the full sequence (HF part 1), so the
+    [CLS] row is plain dense attention."""
     if not deterministic and dropout_rng is not None:
         r_emb, r_enc = jax.random.split(dropout_rng)
     else:
@@ -215,6 +221,35 @@ def bigbird_model(
         ff = dropout(ff, cfg.hidden_dropout_prob, r_ff, deterministic)
         return layer_norm(x + ff, lp["output_layer_norm"], cfg.layer_norm_eps)
 
+    def layer_cls(x, lp):
+        """Last layer, [CLS] query only. Under block-sparse, row 0 is a
+        dense full-attention row with the -10000 mask penalty and a
+        query-mask multiply (``bigbird_sparse.block_sparse_attention``
+        part 1); under original_full it is the ordinary dense row."""
+        from stonkgs_tpu.ops.bigbird_sparse import ATTN_PENALTY
+
+        ap = lp["attention"]
+        x0 = x[:, :1]
+        q = dense(x0, ap["query"], precision).reshape(B, 1, nh, hd)
+        k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
+        v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
+        if attn_type == "block_sparse":
+            bias0 = ((1.0 - mask_f) * ATTN_PENALTY)[:, None, None, :]
+            ctx = dot_product_attention(q, k, v, bias=bias0,
+                                        precision=precision)
+            ctx = ctx * mask_f[:, :1, None, None].astype(ctx.dtype)
+        else:
+            ctx = dot_product_attention(q, k, v, bias=attn_bias,
+                                        precision=precision)
+        attn_out = dense(ctx.reshape(B, 1, H), ap["output"], precision)
+        x0 = layer_norm(x0 + attn_out, ap["output_layer_norm"],
+                        cfg.layer_norm_eps)
+        ff = activation(cfg.hidden_act)(dense(x0, lp["intermediate"],
+                                              precision))
+        ff = dense(ff, lp["output"], precision)
+        return layer_norm(x0 + ff, lp["output_layer_norm"],
+                          cfg.layer_norm_eps)
+
     def body(carry, xs):
         x, rng = carry
         lp, la_rand = xs
@@ -227,7 +262,16 @@ def bigbird_model(
     if remat:
         body = jax.checkpoint(body)
     rng0 = dropout_rng if not deterministic else None
-    (seq, _), _ = jax.lax.scan(body, (hidden, rng0), (params["encoder"], rand_attn))
+    if cls_only:
+        assert deterministic, "cls_only is an inference-path optimization"
+        head_layers = jax.tree.map(lambda x: x[:-1], params["encoder"])
+        last = jax.tree.map(lambda x: x[-1], params["encoder"])
+        (x_pre, _), _ = jax.lax.scan(
+            body, (hidden, rng0), (head_layers, rand_attn[:-1]))
+        seq = layer_cls(x_pre, last)
+    else:
+        (seq, _), _ = jax.lax.scan(
+            body, (hidden, rng0), (params["encoder"], rand_attn))
 
     pooled = None
     if with_pooler and "pooler" in params:

@@ -52,6 +52,45 @@ def test_classification_logits_match_full_path():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_bigbird_cls_only_matches_full_path():
+    """BigBird pooled output with cls_only == full path, in BOTH attention
+    modes (the [CLS] row is dense even under block-sparse — HF part 1)."""
+    from stonkgs_tpu.config import BigBirdConfig
+    from stonkgs_tpu.models import bigbird
+    from stonkgs_tpu.ops.bigbird_sparse import build_rand_attn
+
+    cfg = BigBirdConfig(
+        vocab_size=90, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=160, attention_type="block_sparse",
+        block_size=16, num_random_blocks=2,
+    )
+    params = fast_init(lambda: bigbird.init_bigbird_params(
+        jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(3)
+    B, S = 2, 160  # 10 blocks of 16 -> real block-sparse path
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)))
+    mask = np.ones((B, S), np.float32)
+    mask[:, -20:] = 0.0
+    mask = jnp.asarray(mask)
+    plan = build_rand_attn(S, cfg.block_size, cfg.num_random_blocks,
+                           cfg.num_attention_heads, cfg.num_hidden_layers,
+                           cfg.max_position_embeddings, training=False)
+
+    for attn_type in ("block_sparse", "original_full"):
+        _, full = bigbird.bigbird_model(
+            params, cfg, input_ids=ids, attention_mask=mask,
+            rand_attn=plan, attention_type=attn_type,
+            attention_impl="xla", sparse_impl="xla")
+        _, fast = bigbird.bigbird_model(
+            params, cfg, input_ids=ids, attention_mask=mask,
+            rand_attn=plan, attention_type=attn_type,
+            attention_impl="xla", sparse_impl="xla", cls_only=True)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(full), atol=2e-6, rtol=1e-5,
+            err_msg=attn_type)
+
+
 def test_training_path_keeps_full_last_layer():
     """deterministic=False must not enable cls_only (dropout needs the
     full-path rng stream); the call simply runs without the assert."""
