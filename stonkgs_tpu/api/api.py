@@ -280,9 +280,15 @@ def infer_concat(engine: STonKGsEngine, data: InferenceHint, *,
 
 def infer_concat_iter(engine: STonKGsEngine, data: InferenceHint,
                       columns: Optional[List[str]] = None) -> Iterable:
-    """Yield header then input rows extended with class probabilities."""
+    """Yield header then input rows extended with class probabilities.
+
+    When ``columns`` is None, a generated ``class_<i>`` header is yielded
+    instead (the header row is ALWAYS first — ``infer_concat``'s
+    DataFrame mode consumes it, so omitting it would silently swallow the
+    first data row as column labels)."""
     df = _prepare_df(data)
-    if columns is not None:
-        yield (*df.columns, *columns)
+    if columns is None:
+        columns = [f"class_{i}" for i in range(engine.cfg.num_labels)]
+    yield (*df.columns, *columns)
     for row, (_lg, probs) in zip(df.values, infer_iter(engine, df)):
         yield (*row, *probs)

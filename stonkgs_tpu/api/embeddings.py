@@ -56,19 +56,23 @@ def preprocess_df_for_embeddings(
 
 def get_stonkgs_embeddings(
     preprocessed_df,
-    engine: Optional[STonKGsEngine] = None,
+    pretrained_stonkgs_model_name=None,
     list_of_indices: Optional[list] = None,
-    pretrained_stonkgs_model_name: Optional[str] = None,
 ):
     """Preprocessed DataFrame -> DataFrame with an ``embedding`` column.
 
-    API-compatible with the reference function (``stonkgs_for_embeddings.py:
-    158-186``) but runs batched jitted forwards instead of a batch-size-1
-    tqdm loop.  When no ``engine`` is given, the named (or default
-    stonkgs-150k) hub checkpoint is downloaded like the reference."""
+    Positionally API-compatible with the reference function
+    (``stonkgs_for_embeddings.py:158-163``): the 2nd argument is the hub
+    checkpoint name (downloaded like the reference when a string; the
+    default stonkgs-150k when None) — but runs batched jitted forwards
+    instead of a batch-size-1 tqdm loop. An already-built
+    :class:`STonKGsEngine` may be passed in its place to skip the
+    download."""
     import pandas as pd
 
-    if engine is None:
+    if isinstance(pretrained_stonkgs_model_name, STonKGsEngine):
+        engine = pretrained_stonkgs_model_name
+    else:
         engine = STonKGsEngine.from_default_pretrained(
             pretrained_stonkgs_model_name)
     if list_of_indices is not None:

@@ -155,9 +155,10 @@ class STonKGsEngine:
 
             assert relations is not None, "TransE preprocessing needs relations"
             # inference requires 1:1 row alignment — refuse silent drops
-            _, keep = assemble_transe_part(
+            ent_part = assemble_transe_part(
                 list(sources), list(relations), list(targets),
                 self.artifacts, self.cfg.sep_id)
+            keep = ent_part[1]
             if not keep.all():
                 bad = [i for i, k in enumerate(keep) if not k]
                 raise ValueError(
@@ -169,6 +170,7 @@ class STonKGsEngine:
                 list(evidences), np.zeros(len(evidences), np.int64),
                 self.artifacts, self.tokenizer,
                 text_part_length=self.cfg.text_len, sep_id=self.cfg.sep_id,
+                ent_part=ent_part,
             )
             feats.pop("labels")
             return feats

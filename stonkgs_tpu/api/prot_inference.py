@@ -86,6 +86,7 @@ class ProtSTonKGsEngine:
             text_seq_length=self.cfg.text_len,
             prot_seq_length=self.cfg.prot_len,
             bigbird_sep_id=self.cfg.sep_id, bigbird_mask_id=self.cfg.mask_id,
+            bigbird_unk_id=self.cfg.unk_id,
             apply_masking=False,
         )
         return {k: feats[k] for k in BATCH_KEYS}

@@ -29,7 +29,7 @@ import json
 import logging
 import os
 from collections import Counter
-from typing import Any, Dict, Iterable, List, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import networkx as nx
 
@@ -216,9 +216,13 @@ def statement_edges(stmt: dict) -> List[Tuple[Tuple[str, dict], str, Tuple[str, 
     return out
 
 
-def from_indra_statements(statements: Iterable[dict]) -> nx.MultiDiGraph:
-    """INDRA statement dicts -> BEL-style MultiDiGraph."""
-    g = nx.MultiDiGraph()
+def from_indra_statements(
+    statements: Iterable[dict], into: Optional[nx.MultiDiGraph] = None
+) -> nx.MultiDiGraph:
+    """INDRA statement dicts -> BEL-style MultiDiGraph.
+
+    ``into`` extends an existing graph in place (chunked corpus reads)."""
+    g = nx.MultiDiGraph() if into is None else into
     for stmt in statements:
         for (u_name, u_attrs), rel, (v_name, v_attrs), data in statement_edges(stmt):
             if u_name not in g:
@@ -387,20 +391,29 @@ def read_indra_triples(
     batch_size: int = 10_000_000,
     triples_per_class: int = 25000,
 ) -> Dict[str, str]:
-    """Full extraction pipeline; returns the written file paths."""
+    """Full extraction pipeline; returns the written file paths.
+
+    ``batch_size`` bounds peak memory: statement JSON is parsed and folded
+    into the graph in chunks of that many lines instead of materializing
+    the whole ~35M-line corpus (the reference's optional chunked union,
+    ``indra_extraction.py:396-418``)."""
     import pandas as pd
 
-    errors, statements = [], []
+    g = nx.MultiDiGraph()
+    n_errors = n_lines = 0
+    chunk = []
     with open(path) as f:
-        for line_number, line in enumerate(f):
+        for n_lines, line in enumerate(f, 1):
             try:
-                statements.append(json.loads(line))
+                chunk.append(json.loads(line))
             except json.JSONDecodeError:
-                errors.append(line_number)
-    logger.info("%d statements with errors from %d statements",
-                len(errors), len(statements))
-
-    g = from_indra_statements(statements)
+                n_errors += 1
+            if len(chunk) >= batch_size:
+                from_indra_statements(chunk, into=g)
+                chunk = []
+    from_indra_statements(chunk, into=g)
+    del chunk
+    logger.info("%d statements with errors from %d lines", n_errors, n_lines)
     n_removed = remove_ungrounded_nodes(g)
     logger.warning("removing %d non grounded nodes", n_removed)
     n_dropped = keep_largest_component(g)
@@ -457,5 +470,4 @@ def read_indra_triples(
     pretraining_path = os.path.join(pretraining_dir, "pretraining_triples.tsv")
     pd.DataFrame(triples).to_csv(pretraining_path, sep="\t", index=False)
     return {"pretraining": pretraining_path,
-            **{k: os.path.join(v, f"{k if k != 'relation_type' else 'relation_type'}.tsv")
-               for k, v in task_dirs.items()}}
+            **{k: os.path.join(v, f"{k}.tsv") for k, v in task_dirs.items()}}

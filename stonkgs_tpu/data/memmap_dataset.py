@@ -122,6 +122,10 @@ def memmap_data_iterator(
     Full random permutation of indices per epoch (the index array is tiny
     even at 35M rows); gathers touch the memmaps through the page cache."""
     n = len(store)
+    if n < batch_size:
+        raise ValueError(
+            f"store has {n} rows < batch_size {batch_size}: the epoch "
+            f"loop would never yield")
     rng = np.random.default_rng(seed)
     keys = list(store.keys())
     while True:

@@ -88,6 +88,7 @@ def preprocess_prot_for_pretraining(
     prot_seq_length: int = 3072,
     bigbird_sep_id: int = 66,
     bigbird_mask_id: int = 67,
+    bigbird_unk_id: int = 100,
     lm_mask_id: Optional[int] = None,
     prot_mask_id: Optional[int] = None,
     apply_masking: bool = True,
@@ -101,8 +102,10 @@ def preprocess_prot_for_pretraining(
         rows["evidence"], rows["source_description"],
         rows["target_description"], lm_tokenizer, text_seq_length)
 
-    sw = artifacts.walks_for(np.asarray(rows["source"], object))
-    tw = artifacts.walks_for(np.asarray(rows["target"], object))
+    src = np.asarray(rows["source"], object)
+    tgt = np.asarray(rows["target"], object)
+    sw = artifacts.walks_for(src, unk_id=bigbird_unk_id)
+    tw = artifacts.walks_for(tgt, unk_id=bigbird_unk_id)
     sep = np.full((B, 1), bigbird_sep_id, np.int32)
     ent_ids = np.concatenate([sw, sep, tw, sep], axis=1).astype(np.int64)
 

@@ -136,14 +136,17 @@ def preprocess_transe_for_finetuning(
     *,
     text_part_length: int = 256,
     sep_id: int = 102,
+    ent_part=None,  # precomputed (ent_ids, keep) from assemble_transe_part
 ) -> Dict[str, np.ndarray]:
     """TransE fine-tuning features (no masking, keeps labels).
 
     Reference: ``transestonkgs_finetuning.py:141-167``; rows with unknown
     names are dropped together with their labels."""
-    ent_ids, keep = assemble_transe_part(
-        sources, relations, targets, artifacts, sep_id
-    )
+    if ent_part is None:
+        ent_part = assemble_transe_part(
+            sources, relations, targets, artifacts, sep_id
+        )
+    ent_ids, keep = ent_part
     evidences = [e for e, k in zip(evidences, keep) if k]
     labels = np.asarray(labels)[keep]
     ent_ids = ent_ids[keep]
@@ -172,16 +175,25 @@ def transe_pretraining_to_tsv(
 ) -> int:
     """Chunked, resumable positive-sample generation (appends to TSV).
 
-    Resume-by-row-count like the reference (``:51-69``): already-written
-    rows are skipped on restart. Returns total skip count."""
+    Resume tracks the number of INPUT rows consumed in a
+    ``<output>.progress`` sidecar. The reference resumes by counting
+    OUTPUT rows (``:51-69``), which re-processes (and duplicates) input
+    rows whenever earlier chunks skipped KeyError rows; the sidecar makes
+    resume exact. A pre-existing output without a sidecar falls back to
+    the reference's output-row count. Returns total skip count."""
     import pandas as pd
 
+    progress_path = output_path + ".progress"
     done = 0
     header_written = False
     if os.path.exists(output_path):
         if os.path.getsize(output_path) > 0:
             header_written = True
-            done = len(pd.read_csv(output_path, sep="\t", usecols=[0]))
+            if os.path.exists(progress_path):
+                with open(progress_path) as f:
+                    done = int(f.read().strip() or 0)
+            else:  # legacy/reference-made file: output-row-count fallback
+                done = len(pd.read_csv(output_path, sep="\t", usecols=[0]))
         else:
             os.remove(output_path)  # stale empty file: start fresh
     total_skips = 0
@@ -199,4 +211,6 @@ def transe_pretraining_to_tsv(
         out_df.to_csv(output_path, sep="\t", index=False, mode="a",
                       header=not header_written)
         header_written = True
+        with open(progress_path, "w") as f:
+            f.write(str(start + len(chunk)))
     return total_skips

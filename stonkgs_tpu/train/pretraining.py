@@ -224,6 +224,10 @@ def data_iterator(
     WITHOUT materializing the skipped batches: whole epochs advance by
     drawing (and discarding) the epoch permutation only."""
     n = len(features["input_ids"])
+    if n < batch_size:
+        raise ValueError(
+            f"dataset has {n} examples < batch_size {batch_size}: the "
+            f"epoch loop would never yield")
     rng = np.random.default_rng(seed)
     steps_per_epoch = max((n - batch_size) // batch_size + 1, 0)
     while skip_steps >= steps_per_epoch > 0:

@@ -44,5 +44,14 @@ def batched_apply(
     for chunk, valid in iter_padded_batches(features, keys, batch_size):
         outs.append(np.asarray(fn(chunk)[:valid], np.float32))
     if not outs:
-        return np.zeros((0,), np.float32)
+        # empty input: run one zero-filled batch to learn the output's
+        # trailing shape (so (0, num_labels) arrays reduce cleanly
+        # downstream), then keep 0 rows of it
+        present = [k for k in keys if k in features]
+        chunk = {
+            k: jnp.zeros((batch_size,) + np.shape(features[k])[1:],
+                         np.asarray(features[k]).dtype)
+            for k in present
+        }
+        return np.asarray(fn(chunk)[:0], np.float32)
     return np.concatenate(outs, axis=0)
