@@ -120,6 +120,9 @@ def train_kg_baseline(
         return optax.apply_updates(params, updates), opt_state, loss
 
     n = len(labels)
+    # partial-batch fallback: a fold smaller than batch_size must still
+    # train (the reference DataLoader has drop_last=False)
+    batch_size = min(batch_size, n)
     for epoch in range(epochs):
         perm = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):

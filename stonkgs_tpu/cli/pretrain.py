@@ -7,6 +7,7 @@ backbone), and runs the pjit train loop with checkpoint auto-resume.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Dict, Optional
@@ -315,6 +316,9 @@ def _run_prot_pretraining(
             cfg, params, features, run_cfg, mesh=mesh,
             checkpoint_dir=os.path.join(output_dir, "checkpoints"),
             log_fn=lambda step, m: log.log_metrics(m, step),
-            loss_fn=protstonkgs.pretraining_loss,
+            # custom loss_fns must carry their own remat: make_train_step
+            # only threads remat/attention into the DEFAULT stonkgs loss
+            loss_fn=functools.partial(protstonkgs.pretraining_loss,
+                                      remat=remat),
         )
     return state

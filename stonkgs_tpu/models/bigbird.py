@@ -259,6 +259,9 @@ def bigbird_model(
             sub = None
         return (layer(x, lp, la_rand, sub), rng), None
 
+    # the BigBird trunk implements full-layer remat only; any truthy
+    # value (incl. "attention", which bert.encode treats as selective)
+    # falls back to the conservative full-layer checkpoint
     if remat:
         body = jax.checkpoint(body)
     rng0 = dropout_rng if not deterministic else None

@@ -122,9 +122,14 @@ def split_edges_for_link_prediction(
 
     edge_set = set(map(tuple, edges.tolist()))
     neg = []
-    while len(neg) < k:
+    # bounded sampling: a small/dense graph may have fewer than k distinct
+    # non-edges — take what exists instead of spinning forever
+    attempts = 0
+    max_attempts = 100 * k + 1000
+    while len(neg) < k and attempts < max_attempts:
         a = rng.integers(0, graph.n_nodes, k)
         b = rng.integers(0, graph.n_nodes, k)
+        attempts += k
         for u, v in zip(a, b):
             if u == v:
                 continue
@@ -133,6 +138,16 @@ def split_edges_for_link_prediction(
                 neg.append(key)
             if len(neg) == k:
                 break
+    if len(neg) < k:
+        if not neg:
+            raise ValueError(
+                "graph has no non-edges to sample — link prediction is "
+                "undefined on a complete graph")
+        logger.warning(
+            "only %d of %d negative samples found (dense graph); "
+            "truncating positives to match", len(neg), k)
+        k = len(neg)
+        pos = pos[:k]
     pairs = np.concatenate([pos, np.asarray(neg)], axis=0)
     labels = np.concatenate([np.ones(k), np.zeros(k)])
     return pairs, labels

@@ -2,10 +2,15 @@
 
 The reference masks its corpus ONCE during preprocessing
 (``indra_for_pretraining.py``): every epoch sees identical corruptions and
-a fixed 25% negative set.  This wrapper instead applies the same 80/10/10
-masking and NSP negative pairing INSIDE the jitted train step with fresh
-per-step randomness (RoBERTa-style dynamic masking) — same distribution,
-new corruptions every epoch, and the stored dataset stays uncorrupted.
+appends int(0.25·n) corrupted COPIES (final mix: 20% NSP negatives, every
+positive retained).  This wrapper applies the same 80/10/10 masking and
+NSP pairing INSIDE the jitted train step with fresh per-step randomness
+(RoBERTa-style dynamic masking): the stored dataset stays uncorrupted and
+every epoch sees new corruptions.  NSP negatives are created by swapping
+rows IN PLACE (a batch cannot grow inside the step), so the default
+``nsp_negative_proportion=0.2`` matches the reference's 20% class prior;
+a swapped row's own positive pairing is seen on other steps instead of
+the same one.
 
 Usage: preprocess with ``apply_masking=False`` (raw token ids, NSP label 0)
 and pass ``loss_fn=dynamic_masking_loss()`` to ``pretrain``/``make_train_step``.
@@ -23,10 +28,11 @@ from stonkgs_tpu.models import stonkgs
 
 
 def dynamic_nsp_swap(key, input_ids, ent_labels, text_len: int,
-                     negative_proportion: float = 0.25):
-    """Swap the entity half (and its ELM labels) of ~25% of rows with a
-    random partner row; NSP label 1 (reference ``_add_negative_nsp_samples``
-    semantics, applied per batch instead of per dataset)."""
+                     negative_proportion: float = 0.2):
+    """Swap the entity half (and its ELM labels) of ~``negative_proportion``
+    of rows with a random partner row; NSP label 1 (reference
+    ``_add_negative_nsp_samples`` class prior — 0.25n appended negatives
+    over 1.25n rows = 20% — applied per batch instead of per dataset)."""
     B = input_ids.shape[0]
     k_sel, k_perm = jax.random.split(key)
     is_neg = jax.random.uniform(k_sel, (B,)) < negative_proportion
@@ -44,7 +50,7 @@ def dynamic_masking_loss(
     base_loss: Callable = stonkgs.pretraining_loss,
     mask_id: int = 103,
     masked_tokens_percentage: float = 0.15,
-    nsp_negative_proportion: Optional[float] = 0.25,
+    nsp_negative_proportion: Optional[float] = 0.2,
 ) -> Callable:
     """Loss wrapper applying masking (+ optional NSP pairing) on device.
 

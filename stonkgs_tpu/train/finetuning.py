@@ -119,9 +119,14 @@ def train_classifier(
     ``protstonkgs.classification_loss`` for the tri-modality variant
     (``trunk_cfg`` then selects the config carrying hidden_size)."""
     n = len(train_features["input_ids"])
-    steps_per_epoch = max(
-        n // (run_cfg.batch_size * run_cfg.gradient_accumulation), 1
-    )
+    # folds smaller than one (accumulated) batch still train: fall back
+    # to a single full-dataset batch per step (the reference's HF Trainer
+    # likewise trains on partial batches)
+    batch_size = run_cfg.batch_size
+    accumulation = run_cfg.gradient_accumulation
+    if n < batch_size * accumulation:
+        batch_size, accumulation = n, 1
+    steps_per_epoch = max(n // (batch_size * accumulation), 1)
     total_steps = steps_per_epoch * run_cfg.epochs
 
     # fresh buffer copies: the train step donates its input state, which
@@ -152,12 +157,12 @@ def train_classifier(
         cfg, tx,
         loss_fn=loss_fn,
         compute_dtype=getattr(jnp, run_cfg.compute_dtype),
-        grad_accumulation_steps=run_cfg.gradient_accumulation,
+        grad_accumulation_steps=accumulation,
         mesh=mesh,
     )
     it = data_iterator(
         train_features,
-        run_cfg.batch_size * run_cfg.gradient_accumulation,
+        batch_size * accumulation,
         seed=rng_seed,
     )
     metrics = {}
@@ -168,6 +173,11 @@ def train_classifier(
             batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
     return state, {k: float(v) for k, v in metrics.items()}
+
+
+# jitted eval forwards keyed by (logits_fn, cfg, dtype): a fresh jax.jit
+# per call would recompile the identical graph once per CV fold
+_PREDICT_CACHE: dict = {}
 
 
 def predict(
@@ -182,10 +192,12 @@ def predict(
     """Batched logits over a feature set (padded final batch)."""
     from stonkgs_tpu.utils.batching import batched_apply
 
-    fn = jax.jit(partial(
-        logits_fn if logits_fn is not None else stonkgs.classification_logits,
-        cfg=cfg, compute_dtype=compute_dtype,
-    ))
+    base = logits_fn if logits_fn is not None else stonkgs.classification_logits
+    key = (base, cfg, jnp.dtype(compute_dtype).name)
+    fn = _PREDICT_CACHE.get(key)
+    if fn is None:
+        fn = _PREDICT_CACHE[key] = jax.jit(
+            partial(base, cfg=cfg, compute_dtype=compute_dtype))
     return batched_apply(
         lambda chunk: fn(params, batch=chunk), features,
         ("input_ids", "attention_mask", "token_type_ids"), batch_size)

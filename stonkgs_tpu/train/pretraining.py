@@ -114,6 +114,10 @@ def make_train_step(
     ``attention_impl="flash"`` uses the Pallas custom-VJP attention
     (``ops.flash_attention``): the O(S²) softmax residuals are recomputed
     in the backward kernel, so the trunk can train without remat.
+
+    NOTE: ``remat``/``attention_impl`` are threaded into the DEFAULT
+    STonKGs loss only — a custom ``loss_fn`` must carry its own (bake
+    them in with ``functools.partial``).
     """
     if loss_fn is None:
         loss_fn = partial(stonkgs.pretraining_loss, remat=remat,
@@ -264,6 +268,10 @@ def pretrain(
         # (and inherit the fsdp shardings — the ZeRO memory win)
         params = shard_params(params, mesh, fsdp=run_cfg.fsdp,
                               fsdp_min_size=run_cfg.fsdp_min_size)
+    else:
+        # the jitted step donates its state: copy so the CALLER's param
+        # arrays survive the first update (shard_params already copies)
+        params = jax.tree.map(jnp.array, params)
     tx = make_optimizer(
         params,
         learning_rate=run_cfg.learning_rate,

@@ -70,7 +70,7 @@ def _torch_reference_forward(sd, hf_cfg: dict, kg_table: np.ndarray,
     backbone.eval()
 
     t = lambda k: torch.as_tensor(np.asarray(sd[k]))  # noqa: E731
-    half = kg_table.shape[1] and batch["input_ids"].shape[1] // 2
+    half = batch["input_ids"].shape[1] // 2
     ids = torch.as_tensor(batch["input_ids"])
     with torch.no_grad():
         token_emb = backbone(ids[:, :half])[0]
