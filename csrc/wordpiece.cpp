@@ -34,7 +34,17 @@ constexpr uint8_t kCased = 16;
 constexpr uint8_t kCaseIgnorable = 32;
 
 inline uint8_t char_class(uint32_t cp) {
-  return cp < 0x10000 ? kCharClass[cp] : 0;
+  if (cp < 0x10000) return kCharClass[cp];
+  // supplementary planes: binary search the generated range table so
+  // astral CJK/format/unassigned chars classify like Python unicodedata
+  int lo = 0, hi = kAstralClassCount - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (cp < kAstralClass[mid].start) hi = mid - 1;
+    else if (cp > kAstralClass[mid].end) lo = mid + 1;
+    else return kAstralClass[mid].mask;
+  }
+  return 0;
 }
 
 // UTF-8 decode one code point; advances i. Invalid bytes -> U+FFFD.
@@ -79,12 +89,15 @@ inline void encode_utf8(uint32_t cp, std::string& out) {
 // lowercase + strip accents for one cp, appending mapped cps.
 // Special case: U+03A3 GREEK CAPITAL SIGMA lowers context-dependently in
 // Python str.lower() (final position -> U+03C2); handled by the caller.
+constexpr uint32_t kStripSentinel = 0x110000;  // "maps to nothing"
+
 inline void map_cps(const uint32_t* offsets, const uint32_t* data,
                     uint32_t cp, std::vector<uint32_t>& out) {
   if (cp >= 0x10000) { out.push_back(cp); return; }
   uint32_t a = offsets[cp], b = offsets[cp + 1];
   if (a == b) { out.push_back(cp); return; }  // identity encoding
-  for (uint32_t k = a; k < b; ++k) out.push_back(data[k]);
+  for (uint32_t k = a; k < b; ++k)
+    if (data[k] != kStripSentinel) out.push_back(data[k]);
 }
 
 struct Tokenizer {
@@ -218,8 +231,12 @@ struct Tokenizer {
     }
   }
 
+  // NOTE: max_length must be >= 2 ([CLS] + [SEP]); smaller values write
+  // what fits and pad/skip the rest (no out-of-bounds stores).
   void encode(const std::string& text, int32_t max_length,
               int32_t* out_ids, int32_t* out_mask) const {
+    if (max_length <= 0) return;
+    if (max_length == 1) { out_ids[0] = cls_id; out_mask[0] = 1; return; }
     std::vector<int32_t> ids;
     ids.reserve(max_length);
     // scan for literal special tokens; tokenize the spans between them

@@ -16,7 +16,7 @@ logger = logging.getLogger(__name__)
 
 
 @click.group()
-@click.version_option(package_name=None, prog_name="stonkgs-tpu",
+@click.version_option(version="dev", prog_name="stonkgs-tpu",
                       message="%(prog)s (dev)")
 def main():
     """TPU-native STonKGs framework CLI."""

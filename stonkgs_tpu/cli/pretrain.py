@@ -179,6 +179,10 @@ def run_pretraining(
     if n_model_shards > 1 or len(jax.devices()) > 1:
         # data axis must divide the micro batch; use the largest divisor
         # that fits the available devices
+        if n_model_shards > len(jax.devices()):
+            raise ValueError(
+                f"--n_model_shards {n_model_shards} exceeds the "
+                f"{len(jax.devices())} available devices")
         max_data = len(jax.devices()) // n_model_shards
         n_data = max(d for d in range(1, max_data + 1) if batch_size % d == 0)
         mesh = make_mesh(n_data=n_data, n_model=n_model_shards)

@@ -39,7 +39,8 @@ def _sharded_flash(
     if bias is None:
         bias = jnp.zeros((q.shape[0], 1, 1, q.shape[1]), jnp.float32)
     if dropout_rng is None:
-        dropout_rng = jax.random.PRNGKey(0)  # unused when rate == 0
+        dropout_rate = 0.0  # no rng -> no dropout (matches the other paths)
+        dropout_rng = jax.random.PRNGKey(0)
 
     def local(q, k, v, bias, rng):
         # decorrelate the in-kernel dropout streams across data shards
@@ -73,7 +74,7 @@ def dot_product_attention(
     if impl == "flash" or (isinstance(impl, tuple) and impl[0] == "flash"):
         rate = 0.0 if deterministic else dropout_rate
         mesh = impl[1] if isinstance(impl, tuple) else None
-        if mesh is not None and np_prod_mesh(mesh) > 1:
+        if mesh is not None and mesh.size > 1:
             return _sharded_flash(mesh, q, k, v, bias, rate, dropout_rng)
         from stonkgs_tpu.ops.flash_attention import flash_attention_train
         return flash_attention_train(
@@ -84,13 +85,6 @@ def dot_product_attention(
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,
         deterministic=deterministic, precision=precision,
     )
-
-
-def np_prod_mesh(mesh) -> int:
-    n = 1
-    for v in mesh.shape.values():
-        n *= int(v)
-    return n
 
 
 def _xla_attention(

@@ -79,7 +79,7 @@ def resolve_train_impl(remat="auto", attention_impl="auto",
     equivalence pinned in ``test_sharding_equivalence.py``).
     """
     on_tpu = jax.default_backend() == "tpu"
-    single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
+    single = mesh is None or mesh.size == 1
     if attention_impl in (None, "auto"):
         attention_impl = "flash" if on_tpu else "xla"
     if attention_impl == "flash" and not single:

@@ -96,3 +96,42 @@ def test_random_unicode_fuzz(fast, py, rng):
         f_ids, _ = fast.encode(text, 16)
         p_ids, _ = py.encode(text, 16)
         assert f_ids == p_ids, repr(text)
+
+
+def test_decomposed_accents_match_python(fast, py):
+    """NFD input: combining marks (Mn) must strip to NOTHING, not pass
+    through (regression: empty strip mappings were encoded like identity
+    mappings, so 'cafe\\u0301' tokenized as [UNK])."""
+    cases = [
+        "cafe\u0301",             # NFD e + acute
+        "nai\u0308ve",            # NFD i + diaeresis
+        "A\u0301B\u0302C\u0303",  # marks on capitals
+        "x\u0301\u0302\u0303",    # multiple marks on one base
+    ]
+    for text in cases:
+        f_ids, _ = fast.encode(text, 16)
+        p_ids, _ = py.encode(text, 16)
+        assert f_ids == p_ids, ascii(text)
+
+
+def test_astral_plane_chars_match_python(fast, py):
+    """Supplementary-plane chars: CJK Extension B splits like a chinese
+    char, astral format (Cf) chars are stripped — same as unicodedata."""
+    cases = [
+        "\U00020000 word",       # CJK ext B
+        "a\U000E0001b",          # TAG Cf char inside a word
+        "\U0001F600 face",       # astral symbol (So)
+        "\U0002A700x",           # CJK ext C adjacent to latin
+    ]
+    for text in cases:
+        f_ids, _ = fast.encode(text, 16)
+        p_ids, _ = py.encode(text, 16)
+        assert f_ids == p_ids, ascii(text)
+
+
+def test_tiny_max_length_no_overflow(fast):
+    """max_length < 2 must not write out of bounds (C ABI hardening)."""
+    ids, mask = fast.encode_batch(["hello world"] * 3, 2)
+    assert ids.shape == (3, 2)
+    ids1, mask1 = fast.encode_batch(["hello"], 1)
+    assert ids1.shape == (1, 1) and mask1[0, 0] == 1
