@@ -319,6 +319,7 @@ def pretrain(
                        skip_steps=start_step)
 
     t0 = time.perf_counter()
+    steady_t0 = None  # set after step 1 so throughput excludes compile
     nan_streak = 0
     for step in range(start_step, run_cfg.max_steps):
         batch = next(it)
@@ -327,6 +328,9 @@ def pretrain(
             else {k: jnp.asarray(v) for k, v in batch.items()}
         )
         state, metrics = step_fn(state, batch)
+        if steady_t0 is None:
+            jax.block_until_ready(metrics["loss"])
+            steady_t0 = time.perf_counter()
         # failure detection: halt on a run of non-finite losses instead of
         # silently corrupting the parameters (SURVEY.md §5.3 — the
         # reference has no such guard)
@@ -344,10 +348,14 @@ def pretrain(
         if log_fn and ((step + 1) % run_cfg.log_steps == 0
                        or step + 1 == run_cfg.max_steps):
             m = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t0
-            m["examples_per_sec"] = (
-                run_cfg.batch_size * (step + 1 - start_step) / dt
-            )
+            m["elapsed_sec"] = time.perf_counter() - t0
+            # steady-state throughput: exclude the first (compiling) step
+            steady_steps = step - start_step
+            if steady_steps > 0:
+                m["examples_per_sec"] = (
+                    run_cfg.batch_size * steady_steps
+                    / (time.perf_counter() - steady_t0)
+                )
             log_fn(step + 1, m)
         if ckpt is not None and (
             (step + 1) % run_cfg.save_steps == 0
