@@ -195,6 +195,34 @@ def test_pretraining_grads_match_xla_attention():
                                    atol=1e-4, rtol=1e-3)
 
 
+def test_sharded_dropout_decorrelates_across_shards():
+    """Under impl=("flash", mesh) the dropout seed folds in the shard
+    index: identical examples placed on different data shards must get
+    DIFFERENT masks (without folding they would be identical, silently
+    correlating regularization across the fleet)."""
+    from stonkgs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    rng = np.random.default_rng(0)
+    S, H, D = 32, 2, 8
+    one = rng.standard_normal((1, S, H, D)).astype(np.float32)
+    # the same example repeated across all shards
+    q = jnp.asarray(np.repeat(one, 8, axis=0))
+    k = jnp.asarray(np.repeat(rng.standard_normal((1, S, H, D)), 8, 0).astype(np.float32))
+    v = jnp.asarray(np.repeat(rng.standard_normal((1, S, H, D)), 8, 0).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    out = dot_product_attention(
+        q, k, v, None, dropout_rate=0.5, dropout_rng=key,
+        deterministic=False, impl=("flash", mesh))
+    out = np.asarray(out)
+    # rows 0-1 live on shard 0, rows 2-3 on shard 1: same inputs, same
+    # base key, different shard -> different dropout mask
+    assert not np.allclose(out[0], out[2])
+    # within one shard the per-row mask still differs (row offset)
+    assert not np.allclose(out[0], out[1])
+    assert np.isfinite(out).all()
+
+
 def test_dot_product_attention_training_routes_to_kernel():
     """impl='flash' + deterministic=False must apply in-kernel dropout."""
     rng = np.random.default_rng(6)
