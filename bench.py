@@ -13,6 +13,8 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -20,34 +22,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from stonkgs_tpu.config import BertConfig, STonKGsConfig
-from stonkgs_tpu.models import stonkgs
-from stonkgs_tpu.utils.init import fast_init
+# shared batch/param builders — one source of truth for the workload layout
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks"))
+from _util import full_scale_config, init_params, synthetic_batch  # noqa: E402
+
+from stonkgs_tpu.models import stonkgs  # noqa: E402
 
 BASELINE_PAIRS_PER_SEC = 10_000.0
 
 
 def main(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000):
-    cfg = STonKGsConfig(bert=BertConfig(), kg_vocab_size=kg_vocab)
-    params = fast_init(
-        lambda: stonkgs.init_stonkgs_params(jax.random.PRNGKey(0), cfg)
-    )
-    params = jax.device_put(
-        jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
-    )
-
-    rng = np.random.default_rng(0)
+    cfg = full_scale_config(kg_vocab)
+    params = init_params(cfg)
     B = batch_size
-    text = rng.integers(0, cfg.bert.vocab_size, (B, cfg.text_len))
-    ent = rng.integers(0, cfg.kg_vocab_size, (B, cfg.entity_len))
-    batch = {
-        "input_ids": jnp.asarray(np.concatenate([text, ent], 1), jnp.int32),
-        "attention_mask": jnp.ones((B, cfg.seq_len), jnp.int32),
-        "token_type_ids": jnp.asarray(np.concatenate(
-            [np.zeros((B, cfg.text_len), np.int32),
-             np.ones((B, cfg.entity_len), np.int32)], 1)),
-    }
-    batch = jax.device_put(batch)
+    batch = jax.device_put(synthetic_batch(cfg, B))
 
     @jax.jit
     def step(params, batch, i):

@@ -86,6 +86,8 @@ def timed_train_steps(step_fn, state, batch, *, steps: int, warmup: int = 3):
     device->host sync on the tunneled axon backend) covers the whole chain
     — per-step fetches would add one ~25 ms tunnel round trip per step.
     Returns (final_state, seconds_per_step)."""
+    if warmup < 1:
+        raise ValueError("warmup must be >= 1 (the first step compiles)")
     for _ in range(warmup):
         state, metrics = step_fn(state, batch)
     loss = float(metrics["loss"])
@@ -108,6 +110,8 @@ def timed_op(fn, args, *, steps: int, warmup: int = 2):
     ``fn`` must return an array; finiteness is checked on the last one."""
     import jax.numpy as jnp
 
+    if warmup < 1:
+        raise ValueError("warmup must be >= 1 (the first call compiles)")
     reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
     for _ in range(warmup):
         out = fn(*args)

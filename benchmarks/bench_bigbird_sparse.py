@@ -46,8 +46,10 @@ def bench_attention_op(B: int, steps: int, training_plan: bool):
 
     for name, fn in [("xla", block_sparse_attention),
                      ("pallas", block_sparse_attention_pallas)]:
-        f = jax.jit(lambda q, k, v, fn=fn: fn(q, k, v, plan, mask, bs))
-        dt = timed_op(f, (q, k, v), steps=steps)
+        # mask/plan as ARGUMENTS: closed-over arrays would be baked into
+        # the HLO as constants and their masking work constant-folded away
+        f = jax.jit(lambda q, k, v, plan, mask, fn=fn: fn(q, k, v, plan, mask, bs))
+        dt = timed_op(f, (q, k, v, plan, mask), steps=steps)
         flops = 2 * 2 * B * H * (S - 2 * bs) * (5 + r) * bs * D \
             + 2 * 2 * B * H * 2 * bs * S * D
         emit(
@@ -75,7 +77,7 @@ def bench_trunk_forward(B: int, steps: int):
         cfg.num_hidden_layers, cfg.max_position_embeddings, training=False)
 
     for impl in ("xla", "pallas"):
-        def fwd(params, embeds, impl=impl):
+        def fwd(params, embeds, mask, impl=impl):
             seq, _ = bigbird.bigbird_model(
                 params, cfg, inputs_embeds=embeds, attention_mask=mask,
                 deterministic=True, compute_dtype=jnp.bfloat16,
@@ -84,7 +86,7 @@ def bench_trunk_forward(B: int, steps: int):
             return jnp.sum(seq.astype(jnp.float32), axis=(0, 1))[:1]
 
         f = jax.jit(fwd)
-        dt = timed_op(f, (params, embeds), steps=steps)
+        dt = timed_op(f, (params, embeds, mask), steps=steps)
         emit(
             f"BigBird trunk forward, parity block-sparse ({impl}, bf16, "
             f"B={B}, 12L, seq 4096)",

@@ -62,6 +62,9 @@ def pallas_matmul(a, b, *, tm=512, tn=512, tk=1024, acc_dtype=jnp.int32):
 
 
 def main(size: int = 4096, steps: int = 20):
+    if size % 1024:
+        raise SystemExit("--size must be a multiple of 1024 (tile shapes "
+                         "divide the problem exactly; no remainder handling)")
     M = K = N = size
     rng = np.random.default_rng(0)
     a8 = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
@@ -97,6 +100,8 @@ def main(size: int = 4096, steps: int = 20):
 
 def sweep(size: int = 4096, steps: int = 20):
     """Tile-shape sweep: how close can Pallas int8 get to the 2x MXU rate?"""
+    if size % 2048:
+        raise SystemExit("--size must be a multiple of 2048 for the sweep")
     M = K = N = size
     rng = np.random.default_rng(0)
     a8 = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)

@@ -56,13 +56,13 @@ def main(batch_size: int = 8, steps: int = 8, kg_vocab: int = 20_000):
                              trunk_attention_impl="flash")),
     ]
     for name, kw in variants:
-        def fwd(params, ids, kw=kw):
+        def fwd(params, ids, mask, kw=kw):
             _, pooled = protstonkgs.trunk_forward(
                 params, cfg, ids, mask,
                 deterministic=True, compute_dtype=jnp.bfloat16, **kw)
             return pooled
 
-        dt = timed_op(jax.jit(fwd), (params, ids), steps=steps)
+        dt = timed_op(jax.jit(fwd), (params, ids, mask), steps=steps)
         emit(
             f"ProtSTonKGs end-to-end forward [{name}] (bf16, B={B}, "
             f"seq 4096, kg_vocab {kg_vocab})",

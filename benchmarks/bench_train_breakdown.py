@@ -128,7 +128,8 @@ def main(batch_size: int = 64, steps: int = 8, kg_vocab: int = 100_000,
         _, pooled = stonkgs.trunk_forward(
             params, cfg, batch["input_ids"], batch["attention_mask"],
             batch["token_type_ids"], deterministic=True,
-            compute_dtype=jnp.bfloat16, remat=remat)
+            compute_dtype=jnp.bfloat16, remat=remat,
+            attention_impl=attention_impl)
         return masked_cross_entropy(
             nsp_head(params["cls"]["seq_relationship"], pooled, None),
             batch["next_sentence_labels"])

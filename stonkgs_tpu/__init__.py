@@ -48,5 +48,8 @@ def __getattr__(name):
         return replace_mlm_tokens
     if name.startswith("infer_") or name.startswith("ensure_"):
         from stonkgs_tpu.api import api
-        return getattr(api, name)
+        try:
+            return getattr(api, name)
+        except AttributeError:
+            pass  # fall through to the package-level error below
     raise AttributeError(f"module 'stonkgs_tpu' has no attribute {name!r}")

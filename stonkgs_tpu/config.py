@@ -114,9 +114,11 @@ class ProtSTonKGsConfig:
             max_position_embeddings=40000,
         )
     )
-    lm_vocab_size: int = 28996
+    # decoder vocab sizes; None derives them from the backbone configs in
+    # __post_init__ so the pairs cannot silently diverge
+    lm_vocab_size: Optional[int] = None
     kg_vocab_size: int = 0
-    prot_vocab_size: int = 30
+    prot_vocab_size: Optional[int] = None
     kg_start_idx: int = 768
     prot_start_idx: int = 1024
     seq_len: int = 4096
@@ -124,6 +126,13 @@ class ProtSTonKGsConfig:
     sep_id: int = 66
     mask_id: int = 67
     num_labels: Optional[int] = None
+
+    def __post_init__(self):
+        if self.lm_vocab_size is None:
+            object.__setattr__(self, "lm_vocab_size", self.lm.vocab_size)
+        if self.prot_vocab_size is None:
+            object.__setattr__(self, "prot_vocab_size",
+                               self.prot.vocab_size)
 
     @property
     def text_len(self) -> int:
