@@ -165,14 +165,18 @@ def train_classifier(
         batch_size * accumulation,
         seed=rng_seed,
     )
+    if mesh is not None:
+        from stonkgs_tpu.parallel.mesh import shard_batch
+
+        place = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        place = jax.device_put
+    from stonkgs_tpu.train.pretraining import _prefetch_to_device
+
     metrics = {}
-    for _ in range(total_steps):
-        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-        if mesh is not None:
-            from stonkgs_tpu.parallel.mesh import shard_batch
-            batch = shard_batch(batch, mesh)
+    for batch in _prefetch_to_device(it, place, total_steps):
         state, metrics = step_fn(state, batch)
-    return state, {k: float(v) for k, v in metrics.items()}
+    return state, {k: float(v) for k, v in jax.device_get(metrics).items()}
 
 
 # jitted eval forwards keyed by (logits_fn, cfg, dtype): a fresh jax.jit
