@@ -72,11 +72,13 @@ def main(batch_size: int = 8, steps: int = 8, kg_vocab: int = 20_000):
 
 
 def train(batch_size: int = 2, steps: int = 4, kg_vocab: int = 20_000,
-          sparse_impl: str = "pallas"):
+          sparse_impl: str = "pallas", remat: str = "full"):
     """Pre-training step throughput (MLM+ELM+ProtLM, remat, AdamW).
 
     ``sparse_impl="pallas"`` exercises the block-sparse custom VJP;
-    ``"xla"`` is the reference lowering (round-1 training path)."""
+    ``"xla"`` is the reference lowering (round-1 training path).
+    ``remat``: "full" (conservative full-layer trunk checkpoint),
+    "attention" (selective — FFN activations saved), or "none"."""
     from stonkgs_tpu.config import BigBirdConfig
     from stonkgs_tpu.train.optimizer import make_optimizer
     from stonkgs_tpu.train.pretraining import init_train_state, make_train_step
@@ -95,8 +97,9 @@ def train(batch_size: int = 2, steps: int = 4, kg_vocab: int = 20_000,
 
     import functools
 
+    remat_val = {"full": True, "attention": "attention", "none": False}[remat]
     loss_fn = functools.partial(
-        protstonkgs.pretraining_loss, remat=True, rand_attn=plan,
+        protstonkgs.pretraining_loss, remat=remat_val, rand_attn=plan,
         sparse_impl=sparse_impl)
     tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
     state = init_train_state(params, tx)
@@ -129,7 +132,7 @@ def train(batch_size: int = 2, steps: int = 4, kg_vocab: int = 20_000,
     _, dt = timed_train_steps(step_fn, state, batch, steps=steps, warmup=2)
     emit(
         f"ProtSTonKGs pre-training step [block-sparse {sparse_impl}] "
-        f"(bf16, B={B}, seq 4096, remat, kg_vocab {kg_vocab})",
+        f"(bf16, B={B}, seq 4096, remat={remat}, kg_vocab {kg_vocab})",
         B / dt, "seq/sec/chip", step_ms=round(dt * 1e3, 1),
     )
 
@@ -143,8 +146,10 @@ if __name__ == "__main__":
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--sparse-impl", default="pallas",
                     choices=["pallas", "xla", "auto"])
+    ap.add_argument("--remat", default="full",
+                    choices=["full", "attention", "none"])
     a = ap.parse_args()
     if a.train:
-        train(a.batch_size or 2, a.steps, a.kg_vocab, a.sparse_impl)
+        train(a.batch_size or 2, a.steps, a.kg_vocab, a.sparse_impl, a.remat)
     else:
         main(a.batch_size or 8, a.steps, a.kg_vocab)

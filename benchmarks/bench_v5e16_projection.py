@@ -48,8 +48,32 @@ def trainable_grad_bytes(params) -> int:
     return total
 
 
+def decoder_grad_bytes(params) -> int:
+    """fp32 bytes of the vocab-dim decoder kernels (TP-shardable)."""
+    total = 0
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in flat:
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if any("decoder" in k for k in keys):
+            total += int(np.prod(leaf.shape)) * 4
+    return total
+
+
 def main(batch_size: int = 64, steps: int = 10, kg_vocab: int = 100_000,
-         n_chips: int = 16, bw_chip: float = 1.8e11):
+         n_chips: int = 16, bw_chip: float = 1.8e11, tp: int = 1):
+    """DP (tp=1) or DPxTP (tp=k) projection from the measured step.
+
+    With tensor parallelism over the model axis (``parallel.tp``):
+      * the decoder kernels (and their grads/moments) are vocab-sharded,
+        so their DP all-reduce volume drops by 1/tp and rides the smaller
+        dp = n/tp ring;
+      * the TP gather adds one bf16 (B, entity_len, H) psum per
+        micro-batch over the tp ring (forward only — the KG table is
+        frozen, so the transpose contributes no backward collective);
+      * the TP decode's lse/target psums are (B, K) scalars — negligible.
+    Per-chip compute is taken as the measured single-chip step
+    (conservative: the decoder matmuls actually shrink by 1/tp).
+    """
     cfg = full_scale_config(kg_vocab)
     params = init_params(cfg)
     grad_bytes = trainable_grad_bytes(params)
@@ -64,18 +88,37 @@ def main(batch_size: int = 64, steps: int = 10, kg_vocab: int = 100_000,
     batch = synthetic_batch(cfg, batch_size, with_pretraining_labels=True)
     _, dt = timed_train_steps(step_fn, state, batch, steps=steps)
 
-    t_ar = 2.0 * grad_bytes * (n_chips - 1) / n_chips / bw_chip
-    ex_s_conservative = n_chips * batch_size / (dt + t_ar)
-    ex_s_overlapped = n_chips * batch_size / max(dt, t_ar)
+    def ring(vol_bytes, n):
+        return 0.0 if n <= 1 else 2.0 * vol_bytes * (n - 1) / n / bw_chip
+
+    if tp <= 1:
+        t_comm = ring(grad_bytes, n_chips)
+        mode = "DP"
+        detail = (f"grad all-reduce {grad_bytes / 1e6:.0f} MB -> "
+                  f"{t_comm * 1e3:.1f} ms model")
+    else:
+        dp = n_chips // tp
+        dec_bytes = decoder_grad_bytes(params)
+        dense_bytes = grad_bytes - dec_bytes
+        t_dp = ring(dense_bytes + dec_bytes / tp, dp)
+        gather_psum = batch_size * cfg.entity_len * cfg.bert.hidden_size * 2
+        t_tp = ring(gather_psum, tp)
+        t_comm = t_dp + t_tp
+        mode = f"DP{dp}xTP{tp}"
+        detail = (f"dp all-reduce {(dense_bytes + dec_bytes / tp) / 1e6:.0f}"
+                  f" MB -> {t_dp * 1e3:.1f} ms + tp gather psum "
+                  f"{gather_psum / 1e6:.1f} MB -> {t_tp * 1e3:.2f} ms")
+
+    ex_s_conservative = n_chips * batch_size / (dt + t_comm)
+    ex_s_overlapped = n_chips * batch_size / max(dt, t_comm)
 
     emit(
-        f"projected v5e-{n_chips} pre-training throughput (DP, per-chip "
-        f"batch {batch_size}, measured step {dt * 1e3:.0f} ms, grad "
-        f"all-reduce {grad_bytes / 1e6:.0f} MB -> {t_ar * 1e3:.1f} ms model)",
+        f"projected v5e-{n_chips} pre-training throughput ({mode}, per-chip "
+        f"batch {batch_size}, measured step {dt * 1e3:.0f} ms, {detail})",
         ex_s_conservative, "examples/sec (projected)",
         overlapped_bound=round(ex_s_overlapped, 1),
         single_chip_examples_per_sec=round(batch_size / dt, 1),
-        scaling_efficiency=round(dt / (dt + t_ar), 4),
+        scaling_efficiency=round(dt / (dt + t_comm), 4),
     )
 
 
@@ -86,5 +129,7 @@ if __name__ == "__main__":
     ap.add_argument("--kg-vocab", type=int, default=100_000)
     ap.add_argument("--chips", type=int, default=16)
     ap.add_argument("--bw-chip", type=float, default=1.8e11)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="model-axis size for a DPxTP projection")
     a = ap.parse_args()
-    main(a.batch_size, a.steps, a.kg_vocab, a.chips, a.bw_chip)
+    main(a.batch_size, a.steps, a.kg_vocab, a.chips, a.bw_chip, a.tp)

@@ -16,7 +16,6 @@ import numpy as np
 from stonkgs_tpu.api.inference import STonKGsEngine
 from stonkgs_tpu.data.artifacts import load_kg_artifacts
 from stonkgs_tpu.data.preprocessing import preprocess_for_embeddings
-from stonkgs_tpu.data.wordpiece import BertTokenizer
 
 
 def preprocess_df_for_embeddings(

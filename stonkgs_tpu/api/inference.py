@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import numpy as np
 from stonkgs_tpu.config import BertConfig, STonKGsConfig
 from stonkgs_tpu.data.artifacts import KGArtifacts, load_kg_artifacts
 from stonkgs_tpu.data.preprocessing import (
-    preprocess_for_embeddings, preprocess_for_finetuning,
+    preprocess_for_embeddings,
 )
 from stonkgs_tpu.data.wordpiece import BertTokenizer
 from stonkgs_tpu.models import stonkgs
@@ -209,6 +209,7 @@ class STonKGsEngine:
             features, BATCH_KEYS, self.batch_size)
 
     def predict_proba(self, features: Dict[str, np.ndarray]) -> np.ndarray:
+        """Softmax class probabilities over preprocessed features."""
         lg = self.logits(features)
         e = np.exp(lg - lg.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)

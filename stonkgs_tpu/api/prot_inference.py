@@ -25,6 +25,7 @@ BATCH_KEYS = ("input_ids", "attention_mask")
 
 @dataclasses.dataclass
 class ProtSTonKGsEngine:
+    """Batched ProtSTonKGs inference engine (tri-modality inputs)."""
     cfg: ProtSTonKGsConfig
     params: dict
     lm_tokenizer: Optional[object] = None
@@ -55,6 +56,7 @@ class ProtSTonKGsEngine:
         prot_vocab_file: Optional[str] = None,
         **kw,
     ) -> "ProtSTonKGsEngine":
+        """Load an engine from an exported/ingested HF-style checkpoint dir."""
         from stonkgs_tpu.data.artifacts import load_kg_artifacts
         from stonkgs_tpu.utils.hf_loader import load_protstonkgs_pretrained
 
@@ -92,6 +94,7 @@ class ProtSTonKGsEngine:
         return {k: feats[k] for k in BATCH_KEYS}
 
     def embed(self, features: Dict[str, np.ndarray]) -> np.ndarray:
+        """Pooled [CLS] embeddings for preprocessed features, batched."""
         from stonkgs_tpu.utils.batching import batched_apply
 
         return batched_apply(
@@ -99,6 +102,7 @@ class ProtSTonKGsEngine:
             features, BATCH_KEYS, self.batch_size)
 
     def logits(self, features: Dict[str, np.ndarray]) -> np.ndarray:
+        """Classification logits (requires a loaded classifier head)."""
         assert "classifier" in self.params, "no classification head loaded"
         from stonkgs_tpu.utils.batching import batched_apply
 

@@ -61,6 +61,7 @@ def build_transe_features(transe_artifacts, sources, relations, targets) -> np.n
 
 
 def init_params(key: Array, d_in: int, num_classes: int) -> dict:
+    """Initialize the max-pool + linear classifier parameters."""
     kk, _ = jax.random.split(key)
     bound = 1.0 / np.sqrt(d_in)
     return {
@@ -82,6 +83,7 @@ def forward(params: dict, x: Array, *, dropout_rng=None,
 
 
 def loss_fn(params, x, y, class_weights, rng):
+    """Weighted CE over pooled walk embeddings (train-mode dropout)."""
     probs = forward(params, x, dropout_rng=rng, deterministic=False)
     # reference quirk: CE applied to probabilities as if they were logits
     return weighted_cross_entropy(probs, y, class_weights)
@@ -120,12 +122,13 @@ def train_kg_baseline(
         return optax.apply_updates(params, updates), opt_state, loss
 
     n = len(labels)
-    # partial-batch fallback: a fold smaller than batch_size must still
-    # train (the reference DataLoader has drop_last=False)
+    # the reference DataLoader trains on partial batches (drop_last=False):
+    # include the tail remainder every epoch (one extra compile per
+    # distinct tail size — negligible for this small model)
     batch_size = min(batch_size, n)
     for epoch in range(epochs):
         perm = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        for i in range(0, n, batch_size):
             idx = perm[i: i + batch_size]
             key, sub = jax.random.split(key)
             params, opt_state, _ = step(
@@ -135,6 +138,7 @@ def train_kg_baseline(
 
 
 def predict(params: dict, features: np.ndarray, batch_size: int = 256) -> np.ndarray:
+    """Batched argmax predictions for a feature array."""
     fn = jax.jit(lambda p, x: jnp.argmax(forward(p, x), axis=-1))
     out = []
     for i in range(0, len(features), batch_size):

@@ -35,6 +35,7 @@ def preprocess_evidences(evidences, tokenizer, max_length: int = 512):
 
 def init_nlp_baseline_params(key: Array, cfg: BertConfig, num_labels: int,
                              pretrained_bert: Optional[dict] = None) -> dict:
+    """BERT encoder + classifier head parameter tree."""
     k1, k2 = jax.random.split(key)
     return {
         "bert": pretrained_bert if pretrained_bert is not None
@@ -48,6 +49,7 @@ def classification_logits(
     *, deterministic: bool = True, dropout_rng: Optional[Array] = None,
     compute_dtype=jnp.float32, precision=None,
 ) -> Array:
+    """BioBERT-only classifier forward (reference nlp_baseline_model)."""
     if not deterministic and dropout_rng is not None:
         r_bert, r_cls = jax.random.split(dropout_rng)
     else:
@@ -67,6 +69,7 @@ def classification_logits(
 
 
 def classification_loss(params, cfg, batch, **kw):
+    """Cross-entropy + accuracy metrics for the NLP baseline."""
     logits = classification_logits(params, cfg, batch, **kw)
     loss = masked_cross_entropy(logits, batch["labels"])
     acc = jnp.mean((jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32))
@@ -108,6 +111,7 @@ def train_nlp_baseline(
 
 def predict(params, cfg, features, *, batch_size: int = 64,
             compute_dtype=jnp.float32) -> np.ndarray:
+    """Batched logits over a tokenized evaluation set."""
     from stonkgs_tpu.utils.batching import batched_apply
 
     fn = jax.jit(partial(classification_logits, cfg=cfg,

@@ -8,9 +8,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Optional
 
-import numpy as np
 
 logger = logging.getLogger(__name__)
 
@@ -19,7 +17,8 @@ ALL_TASKS = [
     ("cell_line", "cell_line_ppi_prot.tsv", "class", "cell_line"),
     ("cell_type", "cell_type_ppi_prot.tsv", "class", "cell_type"),
     ("correct_incorrect", "correct_incorrect_binary_ppi_prot.tsv", "class", "correct_binary"),
-    ("correct_incorrect", "correct_incorrect_multiclass_ppi_prot.tsv", "class", "correct_multiclass"),
+    ("correct_incorrect", "correct_incorrect_multiclass_ppi_prot.tsv",
+     "class", "correct_multiclass"),
     ("disease", "disease_ppi_prot.tsv", "class", "disease"),
     ("location", "location_ppi_prot.tsv", "class", "location"),
     ("organ", "organ_ppi_prot.tsv", "class", "organ"),

@@ -43,11 +43,13 @@ class BertConfig:
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "BertConfig":
+        """Build from a HuggingFace config.json dict (unknown keys ignored)."""
         names = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in names})
 
     @classmethod
     def from_json_file(cls, path: str | os.PathLike) -> "BertConfig":
+        """Build from a config.json path (HF checkpoint layout)."""
         with open(path) as f:
             return cls.from_hf_dict(json.load(f))
 
@@ -186,5 +188,6 @@ class BigBirdConfig:
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "BigBirdConfig":
+        """Build from a HuggingFace BigBird config.json dict."""
         names = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in names})

@@ -114,10 +114,12 @@ class FastBertTokenizer:
         return self._handle is not None
 
     def encode(self, text: str, max_length: int) -> Tuple[list, list]:
+        """Encode one text to ids with padding/truncation to max_length."""
         ids, mask = self.encode_batch([text], max_length)
         return ids[0].tolist(), mask[0].tolist()
 
     def encode_batch(self, texts: Iterable[str], max_length: int):
+        """Encode a list of texts; returns (ids, attention_mask) arrays."""
         if self._handle is None:
             return self._py.encode_batch(texts, max_length)
         texts = [t.encode("utf-8") for t in texts]

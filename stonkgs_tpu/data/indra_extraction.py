@@ -127,6 +127,7 @@ def agent_node(agent: dict) -> Tuple[str, dict]:
 
 
 def complex_node(members: List[Tuple[str, dict]]) -> Tuple[str, dict]:
+    """BEL complex node string for a members list (sorted, deduped)."""
     names = sorted(m[0] for m in members)
     label = "complex(" + ", ".join(names) + ")"
     grounded_members = tuple(m[0] for m in members)
@@ -250,6 +251,7 @@ def remove_ungrounded_nodes(g: nx.MultiDiGraph) -> int:
 
 
 def keep_largest_component(g: nx.MultiDiGraph) -> int:
+    """Restrict the graph to its largest weakly connected component."""
     comps = sorted(nx.connected_components(g.to_undirected()), key=len,
                    reverse=True)
     if not comps:

@@ -16,7 +16,6 @@ from __future__ import annotations
 import logging
 from typing import Callable, Optional
 
-import numpy as np
 
 logger = logging.getLogger(__name__)
 

@@ -40,6 +40,7 @@ class TransEArtifacts:
 
 
 def load_transe_artifacts(embedding_path, sep: str = "\t") -> TransEArtifacts:
+    """Load TransE entity/relation embedding TSVs into lookup tables."""
     import pandas as pd
 
     df = pd.read_csv(embedding_path, sep=sep, header=None, index_col=0)

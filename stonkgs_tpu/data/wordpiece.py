@@ -27,6 +27,7 @@ MASK_TOKEN = "[MASK]"
 
 
 def load_vocab(vocab_file: str) -> Dict[str, int]:
+    """Read a BERT vocab.txt into an ordered token->id dict."""
     vocab: Dict[str, int] = {}
     with open(vocab_file, encoding="utf-8") as f:
         for i, line in enumerate(f):
@@ -73,6 +74,7 @@ class BasicTokenizer:
         self.strip_accents = strip_accents
 
     def tokenize(self, text: str) -> List[str]:
+        """Whitespace/punctuation split (+ optional lowercase/accent strip)."""
         text = self._clean_text(text)
         text = self._tokenize_chinese_chars(text)
         text = unicodedata.normalize("NFC", text)
@@ -142,6 +144,7 @@ class WordPieceTokenizer:
         self.max_input_chars_per_word = max_input_chars_per_word
 
     def tokenize(self, word: str) -> List[str]:
+        """Greedy longest-match-first WordPiece split of one token."""
         if len(word) > self.max_input_chars_per_word:
             return [self.unk_token]
         tokens: List[str] = []
@@ -208,6 +211,7 @@ class BertTokenizer:
         return parts
 
     def tokenize(self, text: str) -> List[str]:
+        """Full BERT tokenization: basic split then WordPiece."""
         out: List[str] = []
         for segment in self._split_on_specials(text):
             if segment in self.SPECIAL_TOKENS:

@@ -109,6 +109,7 @@ def layer_norm(x: Array, p: dict, eps: float) -> Array:
 
 
 def activation(name: str):
+    """Resolve an HF activation name to its JAX function."""
     if name == "gelu":
         return partial(jax.nn.gelu, approximate=False)
     if name in ("gelu_new", "gelu_pytorch_tanh"):
@@ -119,6 +120,7 @@ def activation(name: str):
 
 
 def dropout(x: Array, rate: float, rng: Optional[Array], deterministic: bool) -> Array:
+    """Inverted dropout; identity when deterministic or rng is None."""
     if deterministic or rate == 0.0 or rng is None:
         return x
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
@@ -147,6 +149,7 @@ def _init_layer_norm(dim):
 
 
 def init_embedding_params(key: Array, cfg: BertConfig) -> dict:
+    """Word/position/token-type embedding tables + LayerNorm params."""
     k1, k2, k3 = jax.random.split(key, 3)
     h = cfg.hidden_size
     return {

@@ -38,6 +38,7 @@ Array = jax.Array
 
 
 def init_bigbird_params(key: Array, cfg: BigBirdConfig, with_pooler: bool = True) -> dict:
+    """Stacked-layer BigBird parameter tree (scanned encoder layout)."""
     k_emb, k_layers, k_pool = jax.random.split(key, 3)
     h, std = cfg.hidden_size, cfg.initializer_range
     k1, k2, k3 = jax.random.split(k_emb, 3)
@@ -180,40 +181,50 @@ def bigbird_model(
             r_attn, r_ao, r_ff = jax.random.split(rng, 3)
         else:
             r_attn = r_ao = r_ff = None
-        q = dense(x, ap["query"], precision).reshape(B, S, nh, hd)
-        k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
-        v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
-        if attn_type == "block_sparse":
-            # The Pallas kernel has a custom VJP (ops/bigbird_sparse_pallas),
-            # so it serves both inference and training on TPU; the XLA
-            # lowering remains for CPU and as the parity oracle.
-            use_pallas = sparse_impl == "pallas" or (
-                sparse_impl == "auto"
-                and jax.default_backend() == "tpu"
-                and S // cfg.block_size >= 5
-            )
-            if use_pallas:
-                from stonkgs_tpu.ops.bigbird_sparse_pallas import (
-                    block_sparse_attention_pallas,
-                )
 
-                sparse_fn = block_sparse_attention_pallas
+        def attn_block(x, ap, la_rand):
+            q = dense(x, ap["query"], precision).reshape(B, S, nh, hd)
+            k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
+            v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
+            if attn_type == "block_sparse":
+                # The Pallas kernel has a custom VJP
+                # (ops/bigbird_sparse_pallas), so it serves both inference
+                # and training on TPU; the XLA lowering remains for CPU
+                # and as the parity oracle.
+                use_pallas = sparse_impl == "pallas" or (
+                    sparse_impl == "auto"
+                    and jax.default_backend() == "tpu"
+                    and S // cfg.block_size >= 5
+                )
+                if use_pallas:
+                    from stonkgs_tpu.ops.bigbird_sparse_pallas import (
+                        block_sparse_attention_pallas,
+                    )
+
+                    sparse_fn = block_sparse_attention_pallas
+                else:
+                    sparse_fn = block_sparse_attention
+                ctx = sparse_fn(
+                    q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3),
+                    la_rand, mask_f, cfg.block_size, precision=precision,
+                ).transpose(0, 2, 1, 3)
             else:
-                sparse_fn = block_sparse_attention
-            ctx = sparse_fn(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                la_rand, mask_f, cfg.block_size, precision=precision,
-            ).transpose(0, 2, 1, 3)
-        else:
-            ctx = dot_product_attention(
-                q, k, v, bias=attn_bias,
-                dropout_rate=cfg.attention_probs_dropout_prob,
-                dropout_rng=r_attn, deterministic=deterministic,
-                precision=precision, impl=attention_impl,
-            )
-        ctx = ctx.reshape(B, S, H)
-        attn_out = dense(ctx, ap["output"], precision)
+                ctx = dot_product_attention(
+                    q, k, v, bias=attn_bias,
+                    dropout_rate=cfg.attention_probs_dropout_prob,
+                    dropout_rng=r_attn, deterministic=deterministic,
+                    precision=precision, impl=attention_impl,
+                )
+            return dense(ctx.reshape(B, S, H), ap["output"], precision)
+
+        if remat == "attention":
+            # selective remat (mirrors bert.encoder_layer): recompute only
+            # the attention sub-block in the backward pass; the FFN
+            # activations (cheap to store relative to the (B, nh, S, ...)
+            # attention intermediates at seq 4096) are saved
+            attn_block = jax.checkpoint(attn_block)
+        attn_out = attn_block(x, ap, la_rand)
         attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
         x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
         ff = activation(cfg.hidden_act)(dense(x, lp["intermediate"], precision))
@@ -259,10 +270,10 @@ def bigbird_model(
             sub = None
         return (layer(x, lp, la_rand, sub), rng), None
 
-    # the BigBird trunk implements full-layer remat only; any truthy
-    # value (incl. "attention", which bert.encode treats as selective)
-    # falls back to the conservative full-layer checkpoint
-    if remat:
+    # remat="attention" -> selective (attention-only) checkpoint, applied
+    # inside ``layer``; any other truthy value -> conservative full-layer
+    # checkpoint
+    if remat and remat != "attention":
         body = jax.checkpoint(body)
     rng0 = dropout_rng if not deterministic else None
     if cls_only:

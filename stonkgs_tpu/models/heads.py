@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 
 from stonkgs_tpu.config import BertConfig
-from stonkgs_tpu.models.bert import _init_dense, _init_layer_norm, _trunc_normal, activation, dense, layer_norm
+from stonkgs_tpu.models.bert import (
+    _init_dense, _init_layer_norm, _trunc_normal, activation, dense,
+    layer_norm,
+)
 
 Array = jax.Array
 
@@ -96,6 +99,7 @@ def classifier_head(
     deterministic: bool = True,
     precision=None,
 ) -> Array:
+    """Dropout + linear classification head over the pooled output."""
     if not deterministic and dropout_rng is not None and dropout_prob > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_prob, pooled.shape)
         pooled = jnp.where(keep, pooled / (1.0 - dropout_prob), 0.0).astype(pooled.dtype)

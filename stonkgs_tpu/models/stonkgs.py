@@ -50,7 +50,6 @@ from stonkgs_tpu.models.heads import (
     nsp_head,
 )
 from stonkgs_tpu.ops.losses import (
-    IGNORE_INDEX,
     gather_masked_positions,
     masked_cross_entropy,
 )
@@ -153,12 +152,19 @@ def backbone_embeddings(
     compute_dtype=jnp.float32,
     precision=None,
     attention_impl: str = "xla",
+    tp_mesh=None,
 ) -> Array:
     """Frozen-backbone input embeddings for the trunk: (B, S, H).
 
     Text half -> frozen LM backbone (NO attention mask, reference quirk);
-    entity half -> KG table gather.
+    entity half -> KG table gather.  With ``tp_mesh`` (a mesh with a
+    model axis > 1) the gather runs as the explicit shard_map TP
+    embedding lookup (``parallel.tp.tp_gather``) — GSPMD cannot
+    partition a plain take against the row-sharded table and would
+    all-gather it instead.
     """
+    from stonkgs_tpu.parallel import tp
+
     text_ids = input_ids[:, : cfg.text_len]
     ent_ids = input_ids[:, cfg.text_len:]
 
@@ -169,9 +175,11 @@ def backbone_embeddings(
         compute_dtype=compute_dtype, precision=precision,
         attention_impl=attention_impl, with_pooler=False,
     )
-    ent_embeddings = jnp.take(
-        params["kg_backbone"].astype(compute_dtype), ent_ids, axis=0
-    )
+    table = params["kg_backbone"].astype(compute_dtype)
+    if tp.has_model_axis(tp_mesh):
+        ent_embeddings = tp.tp_gather(table, ent_ids, tp_mesh)
+    else:
+        ent_embeddings = jnp.take(table, ent_ids, axis=0)
     return jnp.concatenate([token_embeddings, ent_embeddings], axis=1)
 
 
@@ -190,6 +198,7 @@ def trunk_forward(
     remat: bool = False,
     stop_backbone_gradients: bool = True,
     cls_only: bool = False,
+    tp_mesh=None,
 ) -> Tuple[Array, Array]:
     """Backbones + trainable trunk. Returns (sequence_output, pooled_output).
 
@@ -208,7 +217,7 @@ def trunk_forward(
         params, cfg, input_ids,
         deterministic=deterministic, dropout_rng=r_back,
         compute_dtype=compute_dtype, precision=precision,
-        attention_impl=attention_impl,
+        attention_impl=attention_impl, tp_mesh=tp_mesh,
     )
     if stop_backbone_gradients:
         inputs_embeds = jax.lax.stop_gradient(inputs_embeds)
@@ -293,7 +302,27 @@ def pretraining_loss(
     # Decoder kernels may be vocab-padded for model-axis sharding
     # (parallel.mesh.pad_params_for_mesh): slice logits to the true vocab.
     tv, ev = cfg.bert.vocab_size, cfg.kg_vocab_size
-    if dense_heads:
+    from stonkgs_tpu.parallel import tp
+
+    tp_mesh = kw.get("tp_mesh")
+    if tp.has_model_axis(tp_mesh) and not dense_heads:
+        # vocab-parallel decoders: each model shard holds its (B, K, V/n)
+        # logit slice only; logsumexp/label-logit assembled by collectives
+        k_text = max_text_predictions or max(int(cfg.text_len * 0.15), 1)
+        k_ent = max_entity_predictions or max(int(cfg.entity_len * 0.15), 1)
+        text_h, text_l, _ = gather_masked_positions(
+            seq[:, : cfg.text_len], mlm_labels, k_text
+        )
+        ent_h, ent_l, _ = gather_masked_positions(
+            seq[:, cfg.text_len:], elm_labels, k_ent
+        )
+        mlm_loss = tp.tp_decode_cross_entropy(
+            p, elm_transform(p, text_h, cfg.bert, precision),
+            text_l, "text", tv, tp_mesh)
+        elm_loss = tp.tp_decode_cross_entropy(
+            p, elm_transform(p, ent_h, cfg.bert, precision),
+            ent_l, "entity", ev, tp_mesh)
+    elif dense_heads:
         t = elm_transform(p, seq, cfg.bert, precision)
         mlm_logits = elm_decode_segment(p, t[:, : cfg.text_len], "text",
                                         precision)[..., :tv]
@@ -362,6 +391,7 @@ def classification_logits(
 def classification_loss(
     params: dict, cfg: STonKGsConfig, batch: dict, **kw
 ) -> Tuple[Array, dict]:
+    """Cross-entropy + accuracy for STonKGs classification."""
     logits = classification_logits(params, cfg, batch, **kw)
     loss = masked_cross_entropy(logits, batch["labels"])
     accuracy = jnp.mean(

@@ -24,6 +24,7 @@ Array = jax.Array
 
 @dataclasses.dataclass
 class Word2VecResult:
+    """Trained skip-gram embeddings + vocabulary (count-sorted)."""
     vectors: np.ndarray          # (V, dim) input embeddings, count-sorted rows
     index_to_word: List         # row -> token (count-desc order, gensim-style)
     counts: np.ndarray           # (V,) corpus counts in row order

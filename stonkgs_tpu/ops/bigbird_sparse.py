@@ -17,7 +17,6 @@ to dense block gathers + batched matmuls on the MXU.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

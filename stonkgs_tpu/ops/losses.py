@@ -63,6 +63,7 @@ def mse_loss(preds: Array, targets: Array) -> Array:
 
 
 def bce_with_logits(logits: Array, targets: Array) -> Array:
+    """torch BCEWithLogitsLoss semantics (mean reduction, fp32)."""
     z = logits.astype(jnp.float32)
     t = targets.astype(jnp.float32)
     return jnp.mean(jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z))))

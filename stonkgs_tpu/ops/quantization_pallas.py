@@ -23,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # row tile; K and N are taken whole (encoder layers: K, N <= 3072)
 TILE_M = 256

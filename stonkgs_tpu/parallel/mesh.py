@@ -105,7 +105,15 @@ def _tree_paths_and_specs(params, mesh: Optional[Mesh] = None,
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
         spec = param_pspec(path_str)
-        if fsdp and spec == P() and n_data > 1:
+        if (fsdp and spec == P() and n_data > 1
+                and "embedding" not in path_str):
+            # embedding tables stay replicated under fsdp: they are
+            # gather-accessed, and GSPMD cannot partition a gather against
+            # a row-sharded table — it would replicate-then-partition
+            # ("involuntary full rematerialization") for the same memory
+            # high-water mark with extra reshard traffic.  The one table
+            # that matters (the KG backbone) is model-axis sharded with an
+            # explicit shard_map lowering instead (``parallel.tp``).
             spec = _fsdp_spec(np.shape(leaf), n_data, min_size)
         specs.append(spec)
     return treedef, specs
@@ -172,6 +180,7 @@ def shard_params(params, mesh: Mesh, fsdp: bool = False,
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Place a feature dict on the mesh, batch dim over the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

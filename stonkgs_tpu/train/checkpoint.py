@@ -30,6 +30,7 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state) -> None:
+        """Save the TrainState at a step (blocking; rotates old checkpoints)."""
         self._mngr.save(
             step, args=ocp.args.StandardSave(state.tree())
         )

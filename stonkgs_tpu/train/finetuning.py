@@ -69,6 +69,7 @@ def get_train_test_splits(
 
 
 def weighted_f1(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """sklearn weighted-average F1 (the reference's benchmark metric)."""
     from sklearn.metrics import f1_score
 
     return float(f1_score(y_true, y_pred, average="weighted"))
@@ -125,7 +126,11 @@ def train_classifier(
     batch_size = run_cfg.batch_size
     accumulation = run_cfg.gradient_accumulation
     if n < batch_size * accumulation:
-        batch_size, accumulation = n, 1
+        # shrink ACCUMULATION first so the configured micro-batch (the
+        # activation-memory bound) is never exceeded; only folds smaller
+        # than one micro-batch fall back to a single smaller batch
+        batch_size = min(batch_size, n)
+        accumulation = max(n // batch_size, 1)
     steps_per_epoch = max(n // (batch_size * accumulation), 1)
     total_steps = steps_per_epoch * run_cfg.epochs
 
@@ -147,12 +152,14 @@ def train_classifier(
     )
     state = init_train_state(params, tx, seed=rng_seed)
     if loss_fn is None:
+        from stonkgs_tpu.parallel import tp
         from stonkgs_tpu.train.pretraining import resolve_train_impl
 
         remat, attention_impl = resolve_train_impl(
             run_cfg.remat, run_cfg.attention_impl, mesh)
         loss_fn = partial(stonkgs.classification_loss, remat=remat,
-                          attention_impl=attention_impl)
+                          attention_impl=attention_impl,
+                          tp_mesh=mesh if tp.has_model_axis(mesh) else None)
     step_fn = make_train_step(
         cfg, tx,
         loss_fn=loss_fn,
@@ -180,8 +187,12 @@ def train_classifier(
 
 
 # jitted eval forwards keyed by (logits_fn, cfg, dtype): a fresh jax.jit
-# per call would recompile the identical graph once per CV fold
+# per call would recompile the identical graph once per CV fold.  Bounded
+# FIFO eviction: callers passing a fresh closure per call would otherwise
+# accumulate compiled executables for the process lifetime — ``logits_fn``
+# should be a stable callable to actually hit the cache.
 _PREDICT_CACHE: dict = {}
+_PREDICT_CACHE_MAX = 16
 
 
 def predict(
@@ -200,6 +211,8 @@ def predict(
     key = (base, cfg, jnp.dtype(compute_dtype).name)
     fn = _PREDICT_CACHE.get(key)
     if fn is None:
+        while len(_PREDICT_CACHE) >= _PREDICT_CACHE_MAX:
+            _PREDICT_CACHE.pop(next(iter(_PREDICT_CACHE)))
         fn = _PREDICT_CACHE[key] = jax.jit(
             partial(base, cfg=cfg, compute_dtype=compute_dtype))
     return batched_apply(

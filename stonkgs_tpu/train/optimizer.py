@@ -5,7 +5,10 @@ Reference pre-training uses HF ``TrainingArguments`` defaults
 AdamW (b1=0.9, b2=0.999, eps=1e-8), weight_decay=0.0, linear LR decay from
 ``lr`` to 0 over ``max_steps`` with 0 warmup, global-norm grad clipping at
 1.0.  The LM backbone and KG table are frozen
-(``stonkgs_model.py:113-114``); here frozen subtrees get ``set_to_zero``.
+(``stonkgs_model.py:113-114``); freezing is enforced *structurally*: the
+train step differentiates and updates only the trainable subtree
+(``split_frozen``), so frozen params never enter grad buffers, the
+global-norm clip, or ``apply_updates`` — no zero-tree HBM traffic.
 """
 
 from __future__ import annotations
@@ -43,6 +46,28 @@ def trainable_mask(params, frozen_prefixes: Sequence[str] = FROZEN_PREFIXES):
     return jax.tree_util.tree_unflatten(treedef, labels)
 
 
+def split_frozen(params: dict, frozen_prefixes: Sequence[str] = FROZEN_PREFIXES):
+    """Split a parameter dict into (trainable, frozen) top-level subtrees.
+
+    The frozen backbones are whole top-level entries, so the split is a
+    dict partition.  Keeping frozen params OUT of the grad/optimizer path
+    entirely (rather than zeroing their updates with ``set_to_zero``)
+    matters for step time: zero-gradient trees for ~190M frozen params
+    still cost their HBM round trips through grad init, global-norm
+    clipping, and ``apply_updates`` — ~8 GB of pointless traffic per step
+    at full scale (PERF.md round-3 optimizer notes).
+    """
+    train = {k: v for k, v in params.items() if k not in frozen_prefixes}
+    frozen = {k: v for k, v in params.items() if k in frozen_prefixes}
+    return train, frozen
+
+
+def merge_frozen(train: dict, frozen: dict) -> dict:
+    """Inverse of ``split_frozen`` (dict key order is canonicalized by
+    JAX's pytree flattening, so ordering does not matter)."""
+    return {**train, **frozen}
+
+
 def make_optimizer(
     params,
     *,
@@ -56,6 +81,14 @@ def make_optimizer(
     max_grad_norm: Optional[float] = 1.0,
     frozen_prefixes: Sequence[str] = FROZEN_PREFIXES,
 ) -> optax.GradientTransformation:
+    """AdamW chain with HF Trainer defaults.
+
+    ``params``/``frozen_prefixes`` are accepted for signature stability;
+    freezing happens structurally in the train step (``split_frozen``) —
+    the returned transformation is meant to be initialized and applied on
+    the TRAINABLE subtree only (``train.pretraining.init_train_state``).
+    """
+    del params, frozen_prefixes
     schedule = linear_schedule(learning_rate, total_steps, warmup_steps)
     steps = []
     if max_grad_norm is not None:
@@ -68,8 +101,4 @@ def make_optimizer(
         optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
                     weight_decay=weight_decay, mask=decay_mask)
     )
-    tx = optax.chain(*steps)
-    return optax.multi_transform(
-        {"train": tx, "frozen": optax.set_to_zero()},
-        trainable_mask(params, frozen_prefixes),
-    )
+    return optax.chain(*steps)

@@ -40,6 +40,7 @@ Array = jax.Array
 )
 @dataclasses.dataclass
 class TrainState:
+    """Train-step carry: step counter, params, optimizer state, PRNG key."""
     step: Array          # scalar int32
     params: dict
     opt_state: optax.OptState
@@ -53,10 +54,15 @@ class TrainState:
 def init_train_state(
     params: dict, tx: optax.GradientTransformation, seed: int = 0
 ) -> TrainState:
+    """Build the train state; optimizer state covers the TRAINABLE
+    subtree only (frozen backbones carry no moments — see
+    ``optimizer.split_frozen``)."""
+    from stonkgs_tpu.train.optimizer import split_frozen
+
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(split_frozen(params)[0]),
         rng=jax.random.PRNGKey(seed),
     )
 
@@ -120,24 +126,34 @@ def make_train_step(
     them in with ``functools.partial``).
     """
     if loss_fn is None:
-        loss_fn = partial(stonkgs.pretraining_loss, remat=remat,
-                          attention_impl=attention_impl)
+        from stonkgs_tpu.parallel import tp
 
-    def micro_loss(params, batch, rng):
+        loss_fn = partial(stonkgs.pretraining_loss, remat=remat,
+                          attention_impl=attention_impl,
+                          tp_mesh=mesh if tp.has_model_axis(mesh) else None)
+
+    from stonkgs_tpu.train.optimizer import merge_frozen, split_frozen
+
+    def micro_loss(train_params, frozen_params, batch, rng):
         loss, metrics = loss_fn(
-            params, cfg, batch,
+            merge_frozen(train_params, frozen_params), cfg, batch,
             deterministic=False, dropout_rng=rng,
             compute_dtype=compute_dtype,
         )
         return loss, metrics
 
+    # differentiate the TRAINABLE subtree only: frozen backbones (~190M
+    # params at full scale) never get zero-gradient buffers, never pass
+    # through the global-norm clip, and skip apply_updates — measured
+    # ~8 GB/step of avoided HBM traffic (PERF.md)
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
     def train_step(state: TrainState, batch: Dict[str, Array]):
         rng, step_rng = jax.random.split(state.rng)
+        train_p, frozen_p = split_frozen(state.params)
 
         if grad_accumulation_steps == 1:
-            (_, metrics), grads = grad_fn(state.params, batch, step_rng)
+            (_, metrics), grads = grad_fn(train_p, frozen_p, batch, step_rng)
         else:
             micro = jax.tree.map(
                 lambda x: x.reshape(
@@ -150,7 +166,7 @@ def make_train_step(
             def body(acc, inp):
                 g_acc, m_acc = acc
                 mb, r = inp
-                (_, m), g = grad_fn(state.params, mb, r)
+                (_, m), g = grad_fn(train_p, frozen_p, mb, r)
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
                 m_acc = jax.tree.map(jnp.add, m_acc, m)
                 return (g_acc, m_acc), None
@@ -160,10 +176,10 @@ def make_train_step(
             # nothing) — special-casing the first micro-batch outside the
             # scan kept an extra full fp32 gradient tree alive
             (_, m_shape), _ = jax.eval_shape(
-                grad_fn, state.params,
+                grad_fn, train_p, frozen_p,
                 jax.tree.map(lambda x: x[0], micro), rngs[0])
             zero_g = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                lambda p: jnp.zeros(p.shape, jnp.float32), train_p
             )
             zero_m = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
@@ -173,8 +189,8 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g * inv, grads)
             metrics = jax.tree.map(lambda m: m * inv, metrics)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = tx.update(grads, state.opt_state, train_p)
+        params = merge_frozen(optax.apply_updates(train_p, updates), frozen_p)
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )
@@ -209,34 +225,67 @@ class PretrainingConfig:
     fsdp: bool = False
     # smallest leaf (elements) fsdp shards; None = mesh.FSDP_MIN_SIZE
     fsdp_min_size: Optional[int] = None
+    # stop (cleanly) after this step while keeping the LR schedule pinned
+    # to max_steps — bounded sessions / preemption drills; resume continues
+    # to max_steps with the identical trajectory
+    stop_at_step: Optional[int] = None
 
     @property
     def batch_size(self) -> int:
         return self.micro_batch_size * self.grad_accumulation_steps
 
 
-def _prefetch_to_device(it, place, n_steps: int, depth: int = 2):
+class _EndOfStream(Exception):
+    """Sentinel wrapping a finite iterator's exhaustion (PEP 479 safe)."""
+
+
+def _prefetch_to_device(it, place, n_steps: int, depth: int = 3):
     """Yield ``n_steps`` device-placed batches, preparing them on a
     background thread so host gather + H2D transfer overlap the running
-    step (worth ~10 ms/step on the measured input path)."""
+    step (worth ~10 ms/step on the measured input path).
+
+    The producer checks a stop event on every (timed) queue put so an
+    early consumer exit — step exception, watchdog RuntimeError,
+    KeyboardInterrupt — releases the thread instead of leaking it with
+    ``depth`` device-resident batches pinned."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
 
     def work():
         try:
             for _ in range(n_steps):
-                q.put(place(next(it)))
+                try:
+                    item = place(next(it))
+                except StopIteration:
+                    raise _EndOfStream("data iterator exhausted early")
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=work, daemon=True).start()
-    for _ in range(n_steps):
-        item = q.get()
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        for _ in range(n_steps):
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def data_iterator(
@@ -342,56 +391,90 @@ def pretrain(
     it = data_iterator(features, run_cfg.batch_size, seed=run_cfg.seed,
                        skip_steps=start_step)
 
-    place = (
-        (lambda b: shard_batch(b, mesh)) if mesh is not None
-        else jax.device_put  # one pytree transfer, not one per column
-    )
+    if mesh is not None and jax.process_count() > 1:
+        # multi-process: every process runs the same deterministic global
+        # iterator (same seed => same permutation) and materializes only
+        # its own rows; the global jax.Array is assembled from the
+        # process-local shards (the per-host input pipeline, SURVEY §2.2)
+        from stonkgs_tpu.parallel import multihost
+
+        local = multihost.host_local_slice(run_cfg.batch_size)
+
+        def place(b):
+            return multihost.global_batch(
+                {k: v[local] for k, v in b.items()}, mesh)
+    elif mesh is not None:
+        def place(b):
+            return shard_batch(b, mesh)
+    else:
+        place = jax.device_put  # one pytree transfer, not one per column
     batches = _prefetch_to_device(
         it, place, run_cfg.max_steps - start_step)
 
     t0 = time.perf_counter()
     steady_t0 = None  # set after step 1 so throughput excludes compile
     nan_streak = 0
+    # log events fetch DEFERRED: the device->host copy is started at the
+    # log step but consumed one log interval later, so the (tunnel) round
+    # trip overlaps the running steps instead of stalling the dispatch
+    # queue (~25 ms/fetch on the tunneled backend).  The non-finite-loss
+    # watchdog consequently trips up to one extra interval late.
+    pending = None  # (1-based step number, device metrics)
+
+    def fetch_and_log(step_num, m_dev):
+        nonlocal nan_streak
+        # ONE device fetch for all metrics (per-key float() costs a full
+        # host round trip each on the tunneled backend)
+        vals = jax.device_get(m_dev)
+        loss_val = float(vals["loss"])
+        # failure detection: halt on a run of non-finite losses instead
+        # of silently corrupting the parameters (SURVEY.md §5.3 — the
+        # reference has no such guard)
+        if not np.isfinite(loss_val):
+            nan_streak += 1
+            if nan_streak >= 3:
+                raise FloatingPointError(
+                    f"non-finite loss for {nan_streak} consecutive "
+                    f"checks at step {step_num}; last checkpoint is "
+                    f"recoverable from {checkpoint_dir}")
+        else:
+            nan_streak = 0
+        if log_fn:
+            m = {k: float(v) for k, v in vals.items()}
+            m["elapsed_sec"] = time.perf_counter() - t0
+            # steady-state throughput: exclude the first (compiling) step;
+            # device_get above synced to this step's completion, so the
+            # clock read here is consistent with step_num steps done
+            steady_steps = step_num - 1 - start_step
+            if steady_steps > 0 and steady_t0 is not None:
+                m["examples_per_sec"] = (
+                    run_cfg.batch_size * steady_steps
+                    / (time.perf_counter() - steady_t0)
+                )
+            log_fn(step_num, m)
+
     for step in range(start_step, run_cfg.max_steps):
         batch = next(batches)
         state, metrics = step_fn(state, batch)
         if steady_t0 is None:
             jax.block_until_ready(metrics["loss"])
             steady_t0 = time.perf_counter()
-        # failure detection: halt on a run of non-finite losses instead of
-        # silently corrupting the parameters (SURVEY.md §5.3 — the
-        # reference has no such guard)
-        if (step + 1) % run_cfg.log_steps == 0 or step + 1 == run_cfg.max_steps:
-            # ONE device fetch for all metrics (per-key float() costs a
-            # full host round trip each on the tunneled backend)
-            vals = jax.device_get(metrics)
-            loss_val = float(vals["loss"])
-            if not np.isfinite(loss_val):
-                nan_streak += 1
-                if nan_streak >= 3:
-                    raise FloatingPointError(
-                        f"non-finite loss for {nan_streak} consecutive "
-                        f"checks at step {step + 1}; last checkpoint is "
-                        f"recoverable from {checkpoint_dir}")
-            else:
-                nan_streak = 0
-        else:
-            vals = None
-        if log_fn and ((step + 1) % run_cfg.log_steps == 0
-                       or step + 1 == run_cfg.max_steps):
-            m = {k: float(v) for k, v in vals.items()}
-            m["elapsed_sec"] = time.perf_counter() - t0
-            # steady-state throughput: exclude the first (compiling) step
-            steady_steps = step - start_step
-            if steady_steps > 0:
-                m["examples_per_sec"] = (
-                    run_cfg.batch_size * steady_steps
-                    / (time.perf_counter() - steady_t0)
-                )
-            log_fn(step + 1, m)
+        stopping = (run_cfg.stop_at_step is not None
+                    and step + 1 >= run_cfg.stop_at_step)
+        if ((step + 1) % run_cfg.log_steps == 0
+                or step + 1 == run_cfg.max_steps or stopping):
+            jax.tree.map(lambda x: x.copy_to_host_async(), metrics)
+            if pending is not None:
+                fetch_and_log(*pending)
+            pending = (step + 1, metrics)
         if ckpt is not None and (
             (step + 1) % run_cfg.save_steps == 0
             or step + 1 == run_cfg.max_steps
+            or stopping
         ):
             ckpt.save(step + 1, state)
+        if stopping:
+            break
+    if pending is not None:
+        fetch_and_log(*pending)
     return state

@@ -13,7 +13,6 @@ import logging
 import os
 import urllib.request
 from pathlib import Path
-from typing import Optional
 
 from stonkgs_tpu.constants import HOME
 
@@ -23,6 +22,7 @@ CACHE_DIR = Path(os.getenv("STONKGS_TPU_CACHE", HOME / "cache"))
 
 
 def cache_path(url: str, submodule: str = "") -> Path:
+    """Path under the pystow-style cache root, creating parents."""
     name = url.rsplit("/", 1)[-1]
     return CACHE_DIR / submodule / name if submodule else CACHE_DIR / name
 

@@ -58,6 +58,7 @@ def load_state_dict(model_dir_or_file: str) -> Dict[str, np.ndarray]:
 
 
 def load_config(model_dir: str) -> dict:
+    """Read an HF config.json into a STonKGsConfig."""
     with open(os.path.join(model_dir, "config.json")) as f:
         return json.load(f)
 
@@ -116,6 +117,7 @@ def elm_head_params_from_state_dict(
     sd: Mapping, prefix: str = "cls.predictions.",
     segment_names=("text", "entity"),
 ) -> dict:
+    """ELM-head params (transform + decoders + unused biases) from torch keys."""
     g = lambda k: prefix + k  # noqa: E731
     p = {
         "transform": {

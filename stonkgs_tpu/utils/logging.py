@@ -59,21 +59,25 @@ class RunLogger:
             print(json.dumps(record), flush=True)
 
     def log_param(self, key: str, value: Any):
+        """Record a run parameter (mirrors mlflow.log_param)."""
         self._emit({"type": "param", "key": key, "value": str(value)})
         if self._mlflow is not None:
             self._mlflow.log_param(key, value)
 
     def log_metric(self, key: str, value: float, step: Optional[int] = None):
+        """Record one metric value at a step."""
         self._emit({"type": "metric", "key": key, "value": float(value),
                     "step": step})
         if self._mlflow is not None:
             self._mlflow.log_metric(key, value, step=step)
 
     def log_metrics(self, metrics: Dict[str, float], step: Optional[int] = None):
+        """Record a dict of metrics at a step."""
         for k, v in metrics.items():
             self.log_metric(k, v, step)
 
     def close(self):
+        """Flush and close the JSONL sink (and MLflow run if active)."""
         if self._fh:
             self._fh.close()
         if self._mlflow is not None:

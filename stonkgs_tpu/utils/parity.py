@@ -23,6 +23,7 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class ParityReport:
+    """Per-tensor max-deviation report for reference parity checks."""
     max_dev_pooled: float
     max_dev_mlm: float
     max_dev_elm: float
@@ -32,6 +33,7 @@ class ParityReport:
 
     @property
     def max_dev(self) -> float:
+        """Largest absolute deviation across all compared tensors."""
         vals = [self.max_dev_pooled, self.max_dev_mlm, self.max_dev_elm,
                 self.max_dev_nsp]
         if self.max_dev_logits is not None:
@@ -39,6 +41,7 @@ class ParityReport:
         return max(vals)
 
     def summary(self, tolerance: float = 1e-5) -> str:
+        """Human-readable table of per-tensor deviations."""
         status = "PASS" if self.max_dev < tolerance else "FAIL"
         return (f"{status}: max deviation {self.max_dev:.2e} over "
                 f"{self.n_rows} rows (pooled {self.max_dev_pooled:.2e}, "

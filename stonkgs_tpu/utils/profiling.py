@@ -44,9 +44,11 @@ class StepTimer:
         self._t0: Optional[float] = None
 
     def start(self) -> None:
+        """Mark the start of a timed step."""
         self._t0 = time.perf_counter()
 
     def stop(self, sync_value=None) -> float:
+        """Mark the end of a timed step and record its duration."""
         if sync_value is not None:
             float(np.asarray(sync_value).reshape(-1)[0])
         dt = time.perf_counter() - self._t0

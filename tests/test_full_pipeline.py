@@ -124,7 +124,16 @@ def test_full_pipeline(tmp_path):
                        compute_dtype="float32", eval_batch_size=16),
         task_name="species", output_dir=str(tmp_path / "ft"),
     )
-    assert 0.0 <= result["f1_score_mean"] <= 1.0
+    # the synthetic species label is separable from the evidence text (the
+    # label is the parity of the digits in "cells {k}"), so a trained
+    # classifier must beat the majority-class baseline
+    majority = max(np.bincount(np.asarray(
+        [0 if c == "human" else 1 for c in species_df["class"]])))
+    y = np.asarray([0] * majority + [1] * (len(species_df) - majority))
+    from stonkgs_tpu.train.finetuning import weighted_f1
+    majority_f1 = weighted_f1(y, np.zeros_like(y))
+    assert result["f1_score_mean"] > majority_f1, (
+        result, majority_f1)
 
     # 6. inference: probabilities over new rows
     rows_src = species_df["source"].to_numpy(object)[:3]

@@ -56,3 +56,63 @@ def test_remat_mode_matches_no_remat(mode):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_bigbird_remat_attention_matches_no_remat():
+    """Selective (attention-only) remat in the BigBird trunk must not
+    change values or gradients (block-sparse Pallas/XLA path)."""
+    from stonkgs_tpu.config import BigBirdConfig, ProtSTonKGsConfig
+    from stonkgs_tpu.models import protstonkgs
+
+    cfg = ProtSTonKGsConfig(
+        trunk=BigBirdConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64, block_size=4, num_random_blocks=1,
+            attention_type="block_sparse",
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0),
+        lm=BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=8, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0),
+        prot=BertConfig(vocab_size=30, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=16, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0),
+        lm_vocab_size=128, kg_vocab_size=150, prot_vocab_size=30,
+        kg_start_idx=12, prot_start_idx=16, seq_len=32,
+        sep_id=102, mask_id=103, unk_id=100,
+    )
+    params = fast_init(
+        lambda: protstonkgs.init_protstonkgs_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    n = 4
+    mlm = np.full((n, 12), -100, np.int64)
+    elm = np.full((n, 4), -100, np.int64)
+    plm = np.full((n, 16), -100, np.int64)
+    mlm[:, 1:3] = rng.integers(0, 128, (n, 2))
+    elm[:, 0] = rng.integers(0, 150, n)
+    plm[:, 2:4] = rng.integers(0, 30, (n, 2))
+    batch = {
+        "input_ids": jnp.asarray(np.concatenate(
+            [rng.integers(0, 128, (n, 12)), rng.integers(0, 150, (n, 4)),
+             rng.integers(0, 30, (n, 16))], 1)),
+        "attention_mask": jnp.ones((n, 32), jnp.float32),
+        "masked_lm_labels": jnp.asarray(mlm),
+        "ent_masked_lm_labels": jnp.asarray(elm),
+        "prot_masked_lm_labels": jnp.asarray(plm),
+    }
+
+    def loss(params, remat):
+        l, _ = protstonkgs.pretraining_loss(
+            params, cfg, batch, remat=remat, deterministic=True)
+        return l
+
+    l0, g0 = jax.value_and_grad(loss)(params, False)
+    l1, g1 = jax.value_and_grad(loss)(params, "attention")
+    l2, g2 = jax.value_and_grad(loss)(params, True)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    assert abs(float(l0) - float(l2)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
