@@ -23,6 +23,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: XLA compiles of the full-scale models take
+# minutes on a small host CPU; caching them makes re-runs near-instant
+# (opt out with STONKGS_NO_COMPILE_CACHE=1)
+import os
+
+if not os.environ.get("STONKGS_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/stonkgs_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from stonkgs_tpu.config import BertConfig, STonKGsConfig
 from stonkgs_tpu.models import stonkgs
 from stonkgs_tpu.utils.init import fast_init

@@ -30,6 +30,61 @@ from stonkgs_tpu.train.pretraining import (  # noqa: E402
 )
 
 
+def prot(batch_size: int = 2, steps: int = 4, num_labels: int = 10,
+         kg_vocab: int = 20_000, remat: str = "full",
+         sparse_impl: str = "pallas"):
+    """ProtSTonKGs classification fine-tune step (VERDICT r2 #8).
+
+    Full 710M model, frozen backbones, BigBird trunk at 4096 with the
+    block-sparse custom VJP; forward + backward + AdamW per step.
+    Reference: ``/root/reference/src/stonkgs/models/protstonkgs_finetuning.py``
+    (per-device batch 2, no published throughput)."""
+    import jax
+    import numpy as np
+
+    from stonkgs_tpu.config import BigBirdConfig, ProtSTonKGsConfig
+    from stonkgs_tpu.models import protstonkgs
+    from stonkgs_tpu.ops.bigbird_sparse import build_rand_attn
+    from stonkgs_tpu.utils.init import fast_init
+
+    cfg = ProtSTonKGsConfig(trunk=BigBirdConfig(), kg_vocab_size=kg_vocab,
+                            num_labels=num_labels)
+    params = fast_init(lambda: protstonkgs.init_protstonkgs_params(
+        jax.random.PRNGKey(0), cfg, with_classifier=True))
+    for key in ("lm_backbone", "prot_backbone", "kg_backbone"):
+        params[key] = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16), params[key])
+    plan = build_rand_attn(
+        cfg.seq_len, cfg.trunk.block_size, cfg.trunk.num_random_blocks,
+        cfg.trunk.num_attention_heads, cfg.trunk.num_hidden_layers,
+        cfg.trunk.max_position_embeddings, training=True)
+    remat_val = {"full": True, "attention": "attention", "none": False}[remat]
+    loss_fn = partial(protstonkgs.classification_loss, remat=remat_val,
+                      rand_attn=plan, sparse_impl=sparse_impl)
+    tx = make_optimizer(params, learning_rate=5e-5, total_steps=1000)
+    state = init_train_state(params, tx)
+    step_fn = make_train_step(cfg, tx, loss_fn=loss_fn,
+                              compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    B = batch_size
+    text = rng.integers(0, cfg.lm.vocab_size, (B, cfg.text_len))
+    ent = rng.integers(0, cfg.kg_table_size, (B, cfg.entity_len))
+    prot_ids = rng.integers(0, cfg.prot_vocab_size, (B, cfg.prot_len))
+    batch = {
+        "input_ids": jnp.asarray(np.concatenate([text, ent, prot_ids], 1)),
+        "attention_mask": jnp.ones((B, cfg.seq_len), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, num_labels, (B,))),
+    }
+    _, dt = timed_train_steps(step_fn, state, batch, steps=steps, warmup=2)
+    emit(
+        f"ProtSTonKGs fine-tuning step (classification, bf16, B={B}, "
+        f"seq 4096, {num_labels} labels, remat={remat}, block-sparse "
+        f"{sparse_impl}, kg_vocab {kg_vocab})",
+        B / dt, "seq/sec/chip", step_ms=round(dt * 1e3, 1),
+    )
+
+
 def main(batch_size: int = 32, steps: int = 10, num_labels: int = 10,
          kg_vocab: int = 100_000, remat="auto", attention_impl="auto"):
     from stonkgs_tpu.train.pretraining import resolve_train_impl
@@ -67,6 +122,13 @@ if __name__ == "__main__":
                     choices=["auto", "none", "full", "attention"])
     ap.add_argument("--attention", default="auto",
                     choices=["auto", "xla", "flash"])
+    ap.add_argument("--variant", default="stonkgs",
+                    choices=["stonkgs", "prot"])
     a = ap.parse_args()
-    main(a.batch_size, a.steps, a.num_labels, a.kg_vocab, a.remat,
-         a.attention)
+    if a.variant == "prot":
+        prot(a.batch_size if a.batch_size != 32 else 2, a.steps,
+             a.num_labels, min(a.kg_vocab, 20_000),
+             a.remat if a.remat in ("full", "attention", "none") else "full")
+    else:
+        main(a.batch_size, a.steps, a.num_labels, a.kg_vocab, a.remat,
+             a.attention)

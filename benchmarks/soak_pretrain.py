@@ -1,0 +1,203 @@
+"""Production soak: full-scale pre-training with a mid-run kill + resume.
+
+VERDICT r2 #5: every prior chip number was a short warm benchmark; this
+run converts the per-step numbers into a production claim.  One flow:
+
+  1. build (once) a full-scale synthetic corpus in a ``MemmapFeatureStore``
+     (seq 512, BioBERT vocab, kg_vocab 100k, int(0.15*256)=38 masked
+     positions per half — the exact production tensor layout);
+  2. phase 1: ``run_pretraining`` (B=32, flash attention + selective
+     remat, Orbax checkpoints every ``save_steps``) as a SUBPROCESS,
+     SIGKILLed by this parent as soon as the mid-run checkpoint lands;
+  3. phase 2: relaunch the identical command — auto-resume picks up the
+     latest checkpoint and trains to ``max_steps``;
+  4. verdicts from the metrics JSONL: the loss decreased, the resume seam
+     is exactly one checkpoint boundary, and the sustained production
+     rate (incl. input pipeline, logging, checkpoint saves) is printed
+     next to the raw-step benchmark.
+
+Reference equivalent: HF Trainer ``get_last_checkpoint`` auto-resume
+(``/root/reference/src/stonkgs/models/stonkgs_pretraining.py:195-212``).
+
+Usage: python benchmarks/soak_pretrain.py [--steps 1600] [--kill-after 750]
+"""
+
+import argparse
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+_ROOT = str(Path(__file__).resolve().parent.parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def build_corpus(directory: str, n: int = 12_000, seq: int = 512,
+                 text_vocab: int = 28996, kg_vocab: int = 100_000,
+                 seed: int = 0) -> None:
+    """Synthetic full-scale corpus in the memmap layout (idempotent)."""
+    if os.path.exists(os.path.join(directory, "meta.json")):
+        return
+    from stonkgs_tpu.data.memmap_dataset import MemmapFeatureStore
+
+    rng = np.random.default_rng(seed)
+    half = seq // 2
+    k = int(half * 0.15)
+    text = rng.integers(0, text_vocab, (n, half), dtype=np.int32)
+    ent = rng.integers(0, kg_vocab, (n, half), dtype=np.int32)
+    mlm = np.full((n, half), -100, np.int32)
+    elm = np.full((n, half), -100, np.int32)
+    for i in range(n):
+        mlm[i, rng.choice(half, k, replace=False)] = rng.integers(
+            0, text_vocab, k)
+        elm[i, rng.choice(half, k, replace=False)] = rng.integers(
+            0, kg_vocab, k)
+    features = {
+        "input_ids": np.concatenate([text, ent], axis=1),
+        "attention_mask": np.ones((n, seq), np.int32),
+        "token_type_ids": np.concatenate(
+            [np.zeros((n, half), np.int32), np.ones((n, half), np.int32)],
+            axis=1),
+        "masked_lm_labels": mlm,
+        "ent_masked_lm_labels": elm,
+        "next_sentence_labels": rng.integers(0, 2, (n,), dtype=np.int32),
+    }
+    MemmapFeatureStore.write(directory, features)
+
+
+def _phase_cmd(corpus: str, out_dir: str, max_steps: int, save_steps: int,
+               batch_size: int) -> list:
+    code = (
+        "from stonkgs_tpu.cli.pretrain import run_pretraining\n"
+        f"run_pretraining({corpus!r}, batch_size={batch_size}, "
+        f"max_steps={max_steps}, save_steps={save_steps}, log_steps=25, "
+        f"save_total_limit=3, output_dir={out_dir!r})\n"
+    )
+    return [sys.executable, "-c", code]
+
+
+def _latest_ckpt_step(out_dir: str):
+    steps = []
+    for p in glob.glob(os.path.join(out_dir, "checkpoints", "*")):
+        base = os.path.basename(p)
+        if base.isdigit():
+            steps.append(int(base))
+    return max(steps) if steps else None
+
+
+def _read_metrics(out_dir: str):
+    """step -> {key: value} from all RunLogger JSONL files in out_dir."""
+    series: dict = {}
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.jsonl"))):
+        with open(path) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if r.get("type") == "metric" and r.get("step") is not None:
+                    series.setdefault(int(r["step"]), {})[r["key"]] = r["value"]
+    return series
+
+
+def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
+         workdir: str):
+    corpus = os.path.join(workdir, "corpus")
+    out_dir = os.path.join(workdir, "run")
+    os.makedirs(workdir, exist_ok=True)
+    print(f"[soak] building corpus under {corpus} ...", file=sys.stderr)
+    build_corpus(corpus)
+
+    env = dict(os.environ)
+    # persistent XLA compile cache: phase 2 (resume) re-traces the same
+    # train step; the cache turns its compile into a disk read
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/stonkgs_tpu_xla"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
+
+    # ---- phase 1: train until the post-kill_after checkpoint, then KILL
+    t0 = time.time()
+    print(f"[soak] phase 1: -> step {steps}, kill at first checkpoint >= "
+          f"{kill_after}", file=sys.stderr)
+    p = subprocess.Popen(_phase_cmd(corpus, out_dir, steps, save_steps,
+                                    batch_size),
+                         env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    killed_at = None
+    while p.poll() is None:
+        time.sleep(5)
+        latest = _latest_ckpt_step(out_dir)
+        if latest is not None and latest >= kill_after:
+            # let the Orbax write settle, then hard-kill mid-flight
+            time.sleep(2)
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+            killed_at = latest
+            break
+    if killed_at is None:
+        raise RuntimeError(
+            f"phase 1 exited (rc={p.returncode}) before any checkpoint >= "
+            f"{kill_after}; latest={_latest_ckpt_step(out_dir)}")
+    t_kill = time.time()
+    print(f"[soak] SIGKILL after checkpoint {killed_at} "
+          f"({t_kill - t0:.0f}s in)", file=sys.stderr)
+
+    # ---- phase 2: relaunch, auto-resume, run to completion
+    rc = subprocess.call(_phase_cmd(corpus, out_dir, steps, save_steps,
+                                    batch_size),
+                         env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    t_end = time.time()
+    assert rc == 0, f"phase 2 (resume) failed rc={rc}"
+    final = _latest_ckpt_step(out_dir)
+    assert final == steps, (final, steps)
+
+    # ---- verdicts from the metrics JSONL
+    series = _read_metrics(out_dir)
+    series = {s: m for s, m in series.items() if "loss" in m}
+    log_steps = sorted(series)
+    assert log_steps, "no metric rows found"
+    first_loss = series[log_steps[0]]["loss"]
+    last_loss = series[log_steps[-1]]["loss"]
+    resume_steps = [s for s in log_steps if s > killed_at]
+    phase2_first = min(resume_steps) if resume_steps else None
+    ex_rates = [series[s].get("examples_per_sec") for s in log_steps[-5:]
+                if series[s].get("examples_per_sec")]
+    sustained = float(np.mean(ex_rates)) if ex_rates else None
+
+    out = {
+        "metric": (f"pre-training soak (B={batch_size}, {steps} steps, "
+                   f"SIGKILL after ckpt {killed_at}, auto-resume, "
+                   f"memmap corpus)"),
+        "value": round(sustained, 1) if sustained else None,
+        "unit": "examples/sec sustained (incl. input+log+ckpt)",
+        "first_loss": round(float(first_loss), 4),
+        "last_loss": round(float(last_loss), 4),
+        "loss_decreased": bool(last_loss < first_loss),
+        "killed_at_step": killed_at,
+        "resumed_first_log_step": phase2_first,
+        "final_ckpt_step": final,
+        "wall_clock_sec": round(t_end - t0, 1),
+        "loss_curve": [[s, round(float(series[s]["loss"]), 4)]
+                       for s in log_steps],
+    }
+    print(json.dumps(out))
+    assert out["loss_decreased"], "loss did not decrease over the soak"
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1600)
+    ap.add_argument("--kill-after", type=int, default=750)
+    ap.add_argument("--save-steps", type=int, default=250)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--workdir", default="/tmp/stonkgs_soak")
+    a = ap.parse_args()
+    main(a.steps, a.kill_after, a.save_steps, a.batch_size, a.workdir)

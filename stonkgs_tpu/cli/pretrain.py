@@ -65,6 +65,7 @@ def run_pretraining(
     gradient_accumulation_steps: int = 1,
     save_steps: int = 5000,
     save_total_limit: int = 5,
+    log_steps: int = 100,
     output_dir: str = "stonkgs-pretraining",
     n_model_shards: int = 1,
     compute_dtype: str = "bfloat16",
@@ -74,6 +75,7 @@ def run_pretraining(
     frozen_bf16: bool = True,
     export_hf_dir: Optional[str] = None,
     local_rank: int = -1,  # accepted and ignored, like the reference CLI
+    num_hidden_layers: Optional[int] = None,
     seed: int = 0,
 ):
     """Pre-train STonKGs / TransESTonKGs from preprocessed features."""
@@ -136,10 +138,19 @@ def run_pretraining(
     if hidden == 768:
         bert_cfg = BertConfig(vocab_size=vocab_size,
                               max_position_embeddings=max(seq_len, 512))
+        if num_hidden_layers is not None:
+            import dataclasses
+
+            bert_cfg = dataclasses.replace(
+                bert_cfg, num_hidden_layers=num_hidden_layers)
     else:
+        # sub-production widths are smoke-scale runs: default the depth to
+        # something a smoke run can actually train (a 12-layer 32-wide
+        # trunk neither learns nor tests anything the 2-layer one doesn't)
         bert_cfg = BertConfig(
             vocab_size=vocab_size,
             hidden_size=hidden,
+            num_hidden_layers=num_hidden_layers or 2,
             num_attention_heads=max(hidden // 64, 2),
             intermediate_size=hidden * 4,
             max_position_embeddings=max(seq_len, 512),
@@ -196,6 +207,7 @@ def run_pretraining(
         micro_batch_size=batch_size,
         grad_accumulation_steps=gradient_accumulation_steps,
         save_steps=save_steps, save_total_limit=save_total_limit,
+        log_steps=log_steps,
         compute_dtype=compute_dtype, seed=seed, remat=remat,
         attention_impl=attention_impl, fsdp=fsdp,
     )

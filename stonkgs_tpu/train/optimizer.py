@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 FROZEN_PREFIXES = ("lm_backbone", "kg_backbone", "prot_backbone")
@@ -80,6 +81,7 @@ def make_optimizer(
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = 1.0,
     frozen_prefixes: Sequence[str] = FROZEN_PREFIXES,
+    fused: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW chain with HF Trainer defaults.
 
@@ -101,4 +103,110 @@ def make_optimizer(
         optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
                     weight_decay=weight_decay, mask=decay_mask)
     )
-    return optax.chain(*steps)
+    tx = optax.chain(*steps)
+    return FusedClippedAdamW(
+        tx, schedule=schedule, b1=b1, b2=b2, eps=eps,
+        weight_decay=weight_decay, max_grad_norm=max_grad_norm,
+        fused=fused,
+    )
+
+
+class FusedClippedAdamW:
+    """optax-compatible AdamW with a single-pass fused ``update_and_apply``.
+
+    ``init``/``update`` delegate to the equivalent optax chain (exact
+    drop-in, including direct ``tx.update`` callers).  The train step
+    instead calls ``update_and_apply(grads, state, params)``: the
+    global-norm clip factor is folded into the per-leaf moment update and
+    the parameter write happens in the same expression, so the scaled
+    gradient tree and the separate updates tree never materialize in HBM —
+    one read of (g, m, v, p) and one write of (m, v, p) per leaf, plus the
+    unavoidable extra gradient read for the norm.  Semantics are pinned
+    against the optax chain by ``tests/test_fused_adamw.py``.
+    """
+
+    def __init__(self, tx, *, schedule, b1, b2, eps, weight_decay,
+                 max_grad_norm, fused=False):
+        self._tx = tx
+        self._schedule = schedule
+        self.b1, self.b2, self.eps = b1, b2, eps
+        self.weight_decay = weight_decay
+        self.max_grad_norm = max_grad_norm
+        # whether the train step should take the single-pass path; OFF by
+        # default — measured equal to the two-pass chain (the update is
+        # HBM-floor-bound) while scheduling to a ~165 MB higher peak,
+        # which turns the B=64 micro-batch config from fits into OOM
+        # (PERF.md round-3 optimizer notes)
+        self.use_fused_apply = fused
+
+    def init(self, params):
+        """Delegates to the optax chain (state layouts are identical)."""
+        return self._tx.init(params)
+
+    def update(self, grads, state, params=None):
+        """optax-semantics two-pass update (compatibility path)."""
+        return self._tx.update(grads, state, params)
+
+    @staticmethod
+    def _is_counted_state(x) -> bool:
+        """NamedTuple states carrying a ``count`` field (plain tuples have
+        a ``count`` METHOD, so ``hasattr`` alone is a trap)."""
+        return "count" in getattr(x, "_fields", ())
+
+    def _counts(self, state):
+        """Locate the adam state (count/mu/nu) and the schedule state."""
+        # chain state: (ClipState?, (ScaleByAdamState, MaskedState,
+        # ScaleByScheduleState)) — walk the leaves for the named states
+        adam = None
+        sched = None
+        for s in jax.tree_util.tree_leaves(
+                state, is_leaf=self._is_counted_state):
+            if not self._is_counted_state(s):
+                continue
+            if hasattr(s, "mu"):
+                adam = s
+            else:
+                sched = s
+        return adam, sched
+
+    def update_and_apply(self, grads, state, params):
+        """Fused clip + AdamW + apply: returns (new_params, new_state)."""
+        adam, sched = self._counts(state)
+        assert adam is not None and sched is not None, state
+        count = optax.safe_int32_increment(adam.count)
+        lr = self._schedule(sched.count)
+        if self.max_grad_norm is not None:
+            norm = optax.global_norm(grads)
+            scale = self.max_grad_norm / jnp.maximum(
+                norm, self.max_grad_norm)
+        else:
+            scale = jnp.float32(1.0)
+        bc1 = 1.0 - self.b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - self.b2 ** count.astype(jnp.float32)
+
+        def leaf(g, m, v, p):
+            g = g.astype(jnp.float32) * scale
+            m2 = self.b1 * m + (1.0 - self.b1) * g
+            v2 = self.b2 * v + (1.0 - self.b2) * jnp.square(g)
+            upd = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + self.eps)
+            if self.weight_decay and getattr(p, "ndim", 0) >= 2:
+                upd = upd + self.weight_decay * p
+            return m2, v2, (p - lr * upd).astype(p.dtype)
+
+        out = jax.tree.map(leaf, grads, adam.mu, adam.nu, params)
+        new_mu = jax.tree.map(lambda t: t[0], out,
+                              is_leaf=lambda x: isinstance(x, tuple))
+        new_nu = jax.tree.map(lambda t: t[1], out,
+                              is_leaf=lambda x: isinstance(x, tuple))
+        new_p = jax.tree.map(lambda t: t[2], out,
+                             is_leaf=lambda x: isinstance(x, tuple))
+
+        new_adam = adam._replace(count=count, mu=new_mu, nu=new_nu)
+        new_sched = sched._replace(
+            count=optax.safe_int32_increment(sched.count))
+        flat, treedef = jax.tree_util.tree_flatten(
+            state, is_leaf=self._is_counted_state)
+        flat = [new_adam if s is adam else new_sched if s is sched else s
+                for s in flat]
+        new_state = jax.tree_util.tree_unflatten(treedef, flat)
+        return new_p, new_state

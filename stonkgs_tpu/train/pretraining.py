@@ -189,8 +189,15 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g * inv, grads)
             metrics = jax.tree.map(lambda m: m * inv, metrics)
 
-        updates, opt_state = tx.update(grads, state.opt_state, train_p)
-        params = merge_frozen(optax.apply_updates(train_p, updates), frozen_p)
+        if getattr(tx, "use_fused_apply", False):
+            # single-pass fused clip+AdamW+apply (optimizer.FusedClippedAdamW,
+            # opt-in: time-neutral vs the chain but higher peak memory)
+            new_train, opt_state = tx.update_and_apply(
+                grads, state.opt_state, train_p)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, train_p)
+            new_train = optax.apply_updates(train_p, updates)
+        params = merge_frozen(new_train, frozen_p)
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )

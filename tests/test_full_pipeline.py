@@ -17,8 +17,8 @@ import jax
 VOCAB = (["[PAD]", "[unused0]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
           "gene", "g", "activates", "inhibits", "pathway", "signal",
           "##1", "##2", "##3", "##4", "##5", "##6", "##7", "##8", "##9",
-          "##0", "in", "cells", "the", "of"]
-         + [f"[unused{i}]" for i in range(1, 85)])
+          "##0", "in", "cells", "the", "of", "human", "mouse"]
+         + [f"[unused{i}]" for i in range(1, 83)])
 
 
 def _statements(n=400, n_genes=130):
@@ -32,9 +32,15 @@ def _statements(n=400, n_genes=130):
         stype = ["Activation", "Inhibition", "Phosphorylation",
                  "Association", "Association"][k % 5]
         verb = "activates" if stype != "Inhibition" else "inhibits"
-        ev = [{"text": f"the gene g{a} {verb} g{b} in cells {k}",
+        # species-annotated rows mention the organism in the evidence
+        # text (like real curated evidence does) — the species task is
+        # then separable from one token, which the F1-above-majority
+        # assertion below depends on
+        species = ["human", "mouse"][k % 2]
+        in_tissue = f"in {species} cells" if k % 5 == 0 else "in cells"
+        ev = [{"text": f"the gene g{a} {verb} g{b} {in_tissue} {k}",
                "pmid": str(k),
-               **({"context": {"species": {"name": ["human", "mouse"][k % 2]}}}
+               **({"context": {"species": {"name": species}}}
                   if k % 5 == 0 else {})}]
         agent = lambda i: {"name": f"G{i}", "db_refs": {"HGNC": str(i)}}  # noqa: E731
         if stype == "Phosphorylation":
@@ -120,7 +126,11 @@ def test_full_pipeline(tmp_path):
     labels = ft.pop("labels")
     result = run_sequence_classification_cv(
         ft, labels, engine.params, engine.cfg,
-        FinetuneConfig(epochs=2, lr=1e-3, batch_size=8, cv=2,
+        # tiny-model caveat: at random-ish init the pooled [CLS] output is
+        # nearly input-independent (std ~2e-4 across rows), so the trunk
+        # needs a hot LR and real epochs before the text signal reaches
+        # the classifier; measured: f1 0.83 here vs 0.33 majority
+        FinetuneConfig(epochs=30, lr=1e-2, batch_size=8, cv=2,
                        compute_dtype="float32", eval_batch_size=16),
         task_name="species", output_dir=str(tmp_path / "ft"),
     )
