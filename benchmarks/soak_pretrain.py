@@ -103,7 +103,10 @@ def _read_metrics(out_dir: str):
                 except json.JSONDecodeError:
                     continue
                 if r.get("type") == "metric" and r.get("step") is not None:
-                    series.setdefault(int(r["step"]), {})[r["key"]] = r["value"]
+                    row = series.setdefault(int(r["step"]), {})
+                    row[r["key"]] = r["value"]
+                    if "ts" in r:
+                        row["_ts"] = max(row.get("_ts", 0.0), r["ts"])
     return series
 
 
@@ -168,16 +171,40 @@ def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
     last_loss = series[log_steps[-1]]["loss"]
     resume_steps = [s for s in log_steps if s > killed_at]
     phase2_first = min(resume_steps) if resume_steps else None
-    ex_rates = [series[s].get("examples_per_sec") for s in log_steps[-5:]
-                if series[s].get("examples_per_sec")]
-    sustained = float(np.mean(ex_rates)) if ex_rates else None
+    # interval rates between consecutive log events (the in-loop
+    # examples_per_sec metric is a cumulative average that never recovers
+    # from compile warmup): median = steady rate; intervals containing an
+    # Orbax save reveal the checkpoint cost (device->host fetch of the
+    # full fp32 state — tunnel-bound on this harness, PCIe on a local one)
+    rates, save_walls = [], []
+    for a, b in zip(log_steps, log_steps[1:]):
+        if b <= a or "_ts" not in series[a] or "_ts" not in series[b]:
+            continue
+        dt_int = series[b]["_ts"] - series[a]["_ts"]
+        if dt_int <= 0:
+            continue
+        if (b // save_steps) > (a // save_steps):  # interval contains a save
+            save_walls.append((b - a, dt_int))
+        else:
+            rates.append((b - a) * batch_size / dt_int)
+    sustained = float(np.median(rates)) if rates else None
+    ckpt_cost = None
+    if save_walls and sustained:
+        # save cost ~= save-interval wall minus its pure-training share
+        step_time = batch_size / sustained
+        ckpt_cost = float(np.median(
+            [wall - n * step_time for n, wall in save_walls]))
 
     out = {
         "metric": (f"pre-training soak (B={batch_size}, {steps} steps, "
                    f"SIGKILL after ckpt {killed_at}, auto-resume, "
                    f"memmap corpus)"),
         "value": round(sustained, 1) if sustained else None,
-        "unit": "examples/sec sustained (incl. input+log+ckpt)",
+        "unit": ("examples/sec sustained (median inter-log rate incl. "
+                 "input pipeline + logging; checkpoint cost reported "
+                 "separately)"),
+        "checkpoint_save_sec": (round(ckpt_cost, 1)
+                                if ckpt_cost is not None else None),
         "first_loss": round(float(first_loss), 4),
         "last_loss": round(float(last_loss), 4),
         "loss_decreased": bool(last_loss < first_loss),

@@ -60,6 +60,9 @@ def main():
 @click.option("--fsdp/--no-fsdp", default=False,
               help="fully shard params/grads/optimizer over the data axis "
                    "(ZeRO-3 equivalent; needs a multi-device mesh)")
+@click.option("--log_steps", default=100, type=int)
+@click.option("--num_hidden_layers", default=None, type=int,
+              help="override trunk depth (smoke runs; default 12 at h=768)")
 @click.option("--local_rank", default=-1, type=int,
               help="THIS PARAMETER IS IGNORED")
 def pretrain(**kw):
