@@ -29,11 +29,23 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state) -> None:
-        """Save the TrainState at a step (blocking; rotates old checkpoints)."""
+    def save(self, step: int, state, *, blocking: bool = True) -> None:
+        """Save the TrainState at a step (rotates old checkpoints).
+
+        ``blocking=False`` overlaps the serialization/disk write with
+        subsequent training steps: Orbax's async checkpointer copies the
+        device arrays during the ``save`` call itself (so donated buffers
+        are never at risk) and finalizes on a background thread.  Call
+        ``wait()`` (or a final blocking save) before relying on the files.
+        """
         self._mngr.save(
             step, args=ocp.args.StandardSave(state.tree())
         )
+        if blocking:
+            self._mngr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has finalized."""
         self._mngr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

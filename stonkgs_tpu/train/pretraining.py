@@ -479,9 +479,14 @@ def pretrain(
             or step + 1 == run_cfg.max_steps
             or stopping
         ):
-            ckpt.save(step + 1, state)
+            # mid-run saves overlap their finalization with training; the
+            # final/stop save blocks so the files are durable on return
+            final = step + 1 == run_cfg.max_steps or stopping
+            ckpt.save(step + 1, state, blocking=final)
         if stopping:
             break
     if pending is not None:
         fetch_and_log(*pending)
+    if ckpt is not None:
+        ckpt.wait()
     return state
