@@ -36,9 +36,16 @@ from stonkgs_tpu.train.pretraining import (  # noqa: E402
 
 
 def single_chip(batch_size: int, steps: int, kg_vocab: int, remat,
-                attention_impl: str = "xla", accum: int = 1):
+                attention_impl: str = "xla", accum: int = 1,
+                variant: str = "stonkgs"):
     """``remat``: False | "full" | "attention" (selective)."""
-    cfg = full_scale_config(kg_vocab)
+    if variant == "transe":
+        from stonkgs_tpu.config import STonKGsConfig
+
+        # 256 text + [h, r, t, SEP] layout (transestonkgs_model.py:92-93)
+        cfg = STonKGsConfig.transe(kg_vocab)
+    else:
+        cfg = full_scale_config(kg_vocab)
     params = init_params(cfg)
     tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
     state = init_train_state(params, tx)
@@ -49,7 +56,7 @@ def single_chip(batch_size: int, steps: int, kg_vocab: int, remat,
                             with_pretraining_labels=True)
     _, dt = timed_train_steps(step_fn, state, batch, steps=steps)
     emit(
-        f"pre-training throughput (stonkgs MLM+ELM+NSP, bf16, batch "
+        f"pre-training throughput ({variant} MLM+ELM+NSP, bf16, batch "
         f"{batch_size}x{accum}, remat={remat}, attention={attention_impl}, "
         f"kg_vocab {kg_vocab})",
         batch_size * accum / dt, "examples/sec/chip",
@@ -114,10 +121,12 @@ if __name__ == "__main__":
                     help="gradient-accumulation micro-steps per step")
     ap.add_argument("--mesh", type=int, default=0,
                     help="also run on an N-device virtual mesh")
+    ap.add_argument("--variant", default="stonkgs",
+                    choices=["stonkgs", "transe"])
     a = ap.parse_args()
     if a.mesh:
         virtual_mesh(a.mesh, a.steps)
     else:
         single_chip(a.batch_size, a.steps, a.kg_vocab,
                     False if a.remat == "none" else a.remat, a.attention,
-                    a.accum)
+                    a.accum, a.variant)
