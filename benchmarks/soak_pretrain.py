@@ -72,11 +72,50 @@ def build_corpus(directory: str, n: int = 12_000, seq: int = 512,
     MemmapFeatureStore.write(directory, features)
 
 
+def build_prot_corpus(directory: str, n: int = 1_000,
+                      text_len: int = 768, ent_len: int = 256,
+                      prot_len: int = 3072, text_vocab: int = 28996,
+                      kg_vocab: int = 20_000, prot_vocab: int = 30,
+                      seed: int = 0) -> None:
+    """Tri-modality ProtSTonKGs corpus in the memmap layout (idempotent)."""
+    if os.path.exists(os.path.join(directory, "meta.json")):
+        return
+    from stonkgs_tpu.data.memmap_dataset import MemmapFeatureStore
+
+    rng = np.random.default_rng(seed)
+    seq = text_len + ent_len + prot_len
+    text = rng.integers(0, text_vocab, (n, text_len), dtype=np.int32)
+    ent = rng.integers(0, kg_vocab, (n, ent_len), dtype=np.int32)
+    prot = rng.integers(0, prot_vocab, (n, prot_len), dtype=np.int32)
+    labels = {}
+    for name, length, vocab in (("masked_lm_labels", text_len, text_vocab),
+                                ("ent_masked_lm_labels", ent_len, kg_vocab),
+                                ("prot_masked_lm_labels", prot_len,
+                                 prot_vocab)):
+        lab = np.full((n, length), -100, np.int32)
+        k = max(int(length * 0.15), 1)
+        # Masked labels come from a small token subset so the corpus has a
+        # learnable (skewed) marginal: with uniform labels the optimal loss
+        # IS log(vocab) and no soak run could ever show a decrease.
+        subset = min(max(vocab // 64, 4), 16)
+        idx = np.argpartition(rng.random((n, length)), k, axis=1)[:, :k]
+        np.put_along_axis(
+            lab, idx, rng.integers(0, subset, (n, k), dtype=np.int32), axis=1)
+        labels[name] = lab
+    MemmapFeatureStore.write(directory, {
+        "input_ids": np.concatenate([text, ent, prot], axis=1),
+        "attention_mask": np.ones((n, seq), np.int32),
+        **labels,
+    })
+
+
 def _phase_cmd(corpus: str, out_dir: str, max_steps: int, save_steps: int,
-               batch_size: int) -> list:
+               batch_size: int, variant: str = "stonkgs",
+               lr: float = 1e-4) -> list:
     code = (
         "from stonkgs_tpu.cli.pretrain import run_pretraining\n"
-        f"run_pretraining({corpus!r}, batch_size={batch_size}, "
+        f"run_pretraining({corpus!r}, variant={variant!r}, "
+        f"batch_size={batch_size}, lr={lr!r}, "
         f"max_steps={max_steps}, save_steps={save_steps}, log_steps=25, "
         f"save_total_limit=3, output_dir={out_dir!r})\n"
     )
@@ -111,12 +150,15 @@ def _read_metrics(out_dir: str):
 
 
 def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
-         workdir: str):
+         workdir: str, variant: str = "stonkgs"):
     corpus = os.path.join(workdir, "corpus")
     out_dir = os.path.join(workdir, "run")
     os.makedirs(workdir, exist_ok=True)
     print(f"[soak] building corpus under {corpus} ...", file=sys.stderr)
-    build_corpus(corpus)
+    if variant == "prot":
+        build_prot_corpus(corpus)
+    else:
+        build_corpus(corpus)
 
     env = dict(os.environ)
     # persistent XLA compile cache: phase 2 (resume) re-traces the same
@@ -125,12 +167,16 @@ def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
                    os.path.expanduser("~/.cache/stonkgs_tpu_xla"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
 
+    # The prot soak is short (180 steps x B=2): a higher lr makes the
+    # learnable-marginal loss decrease visible above inter-log noise.
+    lr = 1e-3 if variant == "prot" else 1e-4
+
     # ---- phase 1: train until the post-kill_after checkpoint, then KILL
     t0 = time.time()
     print(f"[soak] phase 1: -> step {steps}, kill at first checkpoint >= "
           f"{kill_after}", file=sys.stderr)
     p = subprocess.Popen(_phase_cmd(corpus, out_dir, steps, save_steps,
-                                    batch_size),
+                                    batch_size, variant, lr),
                          env=env, stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL)
     killed_at = None
@@ -154,7 +200,7 @@ def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
 
     # ---- phase 2: relaunch, auto-resume, run to completion
     rc = subprocess.call(_phase_cmd(corpus, out_dir, steps, save_steps,
-                                    batch_size),
+                                    batch_size, variant, lr),
                          env=env, stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL)
     t_end = time.time()
@@ -196,8 +242,8 @@ def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
             [wall - n * step_time for n, wall in save_walls]))
 
     out = {
-        "metric": (f"pre-training soak (B={batch_size}, {steps} steps, "
-                   f"SIGKILL after ckpt {killed_at}, auto-resume, "
+        "metric": (f"{variant} pre-training soak (B={batch_size}, {steps} "
+                   f"steps, SIGKILL after ckpt {killed_at}, auto-resume, "
                    f"memmap corpus)"),
         "value": round(sustained, 1) if sustained else None,
         "unit": ("examples/sec sustained (median inter-log rate incl. "
@@ -221,10 +267,22 @@ def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1600)
-    ap.add_argument("--kill-after", type=int, default=750)
-    ap.add_argument("--save-steps", type=int, default=250)
-    ap.add_argument("--batch-size", type=int, default=32)
-    ap.add_argument("--workdir", default="/tmp/stonkgs_soak")
+    ap.add_argument("--variant", default="stonkgs",
+                    choices=["stonkgs", "prot"])
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default 1600 (stonkgs) / 180 (prot)")
+    ap.add_argument("--kill-after", type=int, default=None,
+                    help="default 750 (stonkgs) / 60 (prot)")
+    ap.add_argument("--save-steps", type=int, default=None,
+                    help="default 250 (stonkgs) / 60 (prot)")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="default 32 (stonkgs) / 2 (prot)")
+    ap.add_argument("--workdir", default=None)
     a = ap.parse_args()
-    main(a.steps, a.kill_after, a.save_steps, a.batch_size, a.workdir)
+    prot = a.variant == "prot"
+    main(a.steps or (180 if prot else 1600),
+         a.kill_after or (60 if prot else 750),
+         a.save_steps or (60 if prot else 250),
+         a.batch_size or (2 if prot else 32),
+         a.workdir or ("/tmp/prot_soak" if prot else "/tmp/stonkgs_soak"),
+         a.variant)

@@ -111,6 +111,7 @@ def run_pretraining(
             batch_size=batch_size, lr=lr, max_steps=max_steps,
             gradient_accumulation_steps=gradient_accumulation_steps,
             save_steps=save_steps, save_total_limit=save_total_limit,
+            log_steps=log_steps,
             output_dir=output_dir, compute_dtype=compute_dtype,
             remat=remat not in (False, "none"), seed=seed)
 
@@ -238,6 +239,7 @@ def _run_prot_pretraining(
     gradient_accumulation_steps=1,
     save_steps=5000,
     save_total_limit=5,
+    log_steps=100,
     output_dir="protstonkgs-pretraining",
     compute_dtype="bfloat16",
     remat=True,
@@ -312,6 +314,14 @@ def _run_prot_pretraining(
     if kg_vectors is not None:
         params["kg_backbone"] = protstonkgs.build_kg_table(
             params["lm_backbone"], cfg, kg_vectors)
+    if compute_dtype == "bfloat16":
+        # frozen backbones are read-only: bf16 storage halves ~2.3 GB of
+        # HBM (same as the stonkgs path's frozen_bf16; required to fit
+        # the 710M-param model + optimizer on one v5e chip)
+        for key in ("lm_backbone", "prot_backbone", "kg_backbone"):
+            params[key] = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.bfloat16)
+                if x.dtype == np.float32 else x, params[key])
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -324,6 +334,7 @@ def _run_prot_pretraining(
         micro_batch_size=batch_size,
         grad_accumulation_steps=gradient_accumulation_steps,
         save_steps=save_steps, save_total_limit=save_total_limit,
+        log_steps=log_steps,
         compute_dtype=compute_dtype, seed=seed, remat=remat,
     )
     with RunLogger(log_dir=output_dir,
