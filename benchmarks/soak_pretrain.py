@@ -149,6 +149,53 @@ def _read_metrics(out_dir: str):
     return series
 
 
+def compute_verdicts(series: dict, killed_at: int, save_steps: int,
+                     batch_size: int) -> dict:
+    """Soak verdicts from a step -> {loss, _ts} metric series.
+
+    Pure so ``tests/test_soak_accounting.py`` can pin the rate math:
+    the sustained rate is the MEDIAN inter-log rate (the in-loop
+    examples_per_sec metric is a cumulative average that never recovers
+    from compile warmup), intervals containing an Orbax save are
+    excluded from it and instead yield the checkpoint cost (interval
+    wall minus the pure-training share of its steps).
+    """
+    series = {s: m for s, m in series.items() if "loss" in m}
+    log_steps = sorted(series)
+    assert log_steps, "no metric rows found"
+    first_loss = series[log_steps[0]]["loss"]
+    last_loss = series[log_steps[-1]]["loss"]
+    resume_steps = [s for s in log_steps if s > killed_at]
+    phase2_first = min(resume_steps) if resume_steps else None
+    rates, save_walls = [], []
+    for a, b in zip(log_steps, log_steps[1:]):
+        if b <= a or "_ts" not in series[a] or "_ts" not in series[b]:
+            continue
+        dt_int = series[b]["_ts"] - series[a]["_ts"]
+        if dt_int <= 0:
+            continue
+        if (b // save_steps) > (a // save_steps):  # interval contains a save
+            save_walls.append((b - a, dt_int))
+        else:
+            rates.append((b - a) * batch_size / dt_int)
+    sustained = float(np.median(rates)) if rates else None
+    ckpt_cost = None
+    if save_walls and sustained:
+        # save cost ~= save-interval wall minus its pure-training share
+        step_time = batch_size / sustained
+        ckpt_cost = float(np.median(
+            [wall - n * step_time for n, wall in save_walls]))
+    return {
+        "sustained": sustained,
+        "ckpt_cost": ckpt_cost,
+        "first_loss": first_loss,
+        "last_loss": last_loss,
+        "phase2_first": phase2_first,
+        "loss_curve": [[s, round(float(series[s]["loss"]), 4)]
+                       for s in log_steps],
+    }
+
+
 def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
          workdir: str, variant: str = "stonkgs"):
     corpus = os.path.join(workdir, "corpus")
@@ -209,37 +256,11 @@ def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
     assert final == steps, (final, steps)
 
     # ---- verdicts from the metrics JSONL
-    series = _read_metrics(out_dir)
-    series = {s: m for s, m in series.items() if "loss" in m}
-    log_steps = sorted(series)
-    assert log_steps, "no metric rows found"
-    first_loss = series[log_steps[0]]["loss"]
-    last_loss = series[log_steps[-1]]["loss"]
-    resume_steps = [s for s in log_steps if s > killed_at]
-    phase2_first = min(resume_steps) if resume_steps else None
-    # interval rates between consecutive log events (the in-loop
-    # examples_per_sec metric is a cumulative average that never recovers
-    # from compile warmup): median = steady rate; intervals containing an
-    # Orbax save reveal the checkpoint cost (device->host fetch of the
-    # full fp32 state — tunnel-bound on this harness, PCIe on a local one)
-    rates, save_walls = [], []
-    for a, b in zip(log_steps, log_steps[1:]):
-        if b <= a or "_ts" not in series[a] or "_ts" not in series[b]:
-            continue
-        dt_int = series[b]["_ts"] - series[a]["_ts"]
-        if dt_int <= 0:
-            continue
-        if (b // save_steps) > (a // save_steps):  # interval contains a save
-            save_walls.append((b - a, dt_int))
-        else:
-            rates.append((b - a) * batch_size / dt_int)
-    sustained = float(np.median(rates)) if rates else None
-    ckpt_cost = None
-    if save_walls and sustained:
-        # save cost ~= save-interval wall minus its pure-training share
-        step_time = batch_size / sustained
-        ckpt_cost = float(np.median(
-            [wall - n * step_time for n, wall in save_walls]))
+    v = compute_verdicts(_read_metrics(out_dir), killed_at, save_steps,
+                         batch_size)
+    sustained, ckpt_cost = v["sustained"], v["ckpt_cost"]
+    first_loss, last_loss = v["first_loss"], v["last_loss"]
+    phase2_first = v["phase2_first"]
 
     out = {
         "metric": (f"{variant} pre-training soak (B={batch_size}, {steps} "
@@ -258,8 +279,7 @@ def main(steps: int, kill_after: int, save_steps: int, batch_size: int,
         "resumed_first_log_step": phase2_first,
         "final_ckpt_step": final,
         "wall_clock_sec": round(t_end - t0, 1),
-        "loss_curve": [[s, round(float(series[s]["loss"]), 4)]
-                       for s in log_steps],
+        "loss_curve": v["loss_curve"],
     }
     print(json.dumps(out))
     assert out["loss_decreased"], "loss did not decrease over the soak"
