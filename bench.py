@@ -15,6 +15,7 @@ Prints ONE JSON line:
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -84,5 +85,30 @@ def main(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000):
     }))
 
 
+def _watchdog(done: threading.Event, timeout_s: float):
+    """Emit an error JSON line instead of hanging forever.
+
+    A wedged device tunnel can block inside backend init or the first
+    device op, where no Python-level timeout applies. The full benchmark
+    normally completes in well under 5 minutes including warm-up.
+    """
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "embedding extraction throughput (stonkgs)",
+            "value": None,
+            "unit": "pairs/sec/chip",
+            "vs_baseline": None,
+            "error": f"no result within {timeout_s:.0f}s — device backend "
+                     "unreachable or wedged (not a model regression)",
+        }), flush=True)
+        os._exit(2)
+
+
 if __name__ == "__main__":
+    _done = threading.Event()
+    threading.Thread(
+        target=_watchdog,
+        args=(_done, float(os.environ.get("STONKGS_BENCH_TIMEOUT_S", 1500))),
+        daemon=True).start()
     main()
+    _done.set()
