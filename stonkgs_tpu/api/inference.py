@@ -43,13 +43,17 @@ class STonKGsEngine:
     batch_size: int = 64
 
     def __post_init__(self):
+        from stonkgs_tpu.ops.attention import default_infer_impl
+
         dtype = getattr(jnp, self.compute_dtype)
+        impl = default_infer_impl()
         self._pooler = jax.jit(
-            partial(stonkgs.pooler_output, cfg=self.cfg, compute_dtype=dtype)
+            partial(stonkgs.pooler_output, cfg=self.cfg, compute_dtype=dtype,
+                    attention_impl=impl)
         )
         self._classify = jax.jit(
             partial(stonkgs.classification_logits, cfg=self.cfg,
-                    compute_dtype=dtype)
+                    compute_dtype=dtype, attention_impl=impl)
         )
 
     # -- constructors -----------------------------------------------------

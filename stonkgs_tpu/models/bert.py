@@ -270,6 +270,10 @@ def encoder_layer(
         r_attn = r_ao = r_ff = None
 
     def attn_block(x, ap):
+        # NOTE: fusing Q/K/V into one (H, 3H) GEMM was measured SLOWER in
+        # the full model (218 vs 196 ms extraction batch) despite the wider
+        # GEMM winning in isolation (~195 vs ~125 TFLOP/s): the per-layer
+        # kernel concat + logits split defeats XLA fusion around the scan.
         q = dense(x, ap["query"], precision).reshape(B, S, nh, hd)
         k = dense(x, ap["key"], precision).reshape(B, S, nh, hd)
         v = dense(x, ap["value"], precision).reshape(B, S, nh, hd)
@@ -287,8 +291,25 @@ def encoder_layer(
     attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
     x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
 
-    ff = activation(cfg.hidden_act)(dense(x, lp["intermediate"], precision))
-    ff = dense(ff, lp["output"], precision)
+    if (
+        deterministic
+        and precision is None
+        and cfg.hidden_act == "gelu"
+        and "kernel" in lp["intermediate"]
+        and jax.default_backend() == "tpu"
+    ):
+        # inference fast path: Pallas fused dense->gelu->dense keeps the
+        # (M, intermediate) activation in VMEM — measured 3.74 vs 5.35 ms
+        # per trunk FFN pair on v5e (ops/fused_ffn.py)
+        from stonkgs_tpu.ops.fused_ffn import fused_ffn
+
+        ff = fused_ffn(
+            x, lp["intermediate"]["kernel"], lp["intermediate"]["bias"],
+            lp["output"]["kernel"], lp["output"]["bias"],
+        )
+    else:
+        ff = activation(cfg.hidden_act)(dense(x, lp["intermediate"], precision))
+        ff = dense(ff, lp["output"], precision)
     ff = dropout(ff, cfg.hidden_dropout_prob, r_ff, deterministic)
     return layer_norm(x + ff, lp["output_layer_norm"], cfg.layer_norm_eps)
 
@@ -419,6 +440,10 @@ def bert_model(
         token_type_ids=token_type_ids, position_ids=position_ids,
         deterministic=deterministic, dropout_rng=r_emb, compute_dtype=compute_dtype,
     )
+    if attention_impl == "auto":
+        from stonkgs_tpu.ops.attention import resolve_infer_impl
+
+        attention_impl = resolve_infer_impl("auto", hidden.shape[-2])
     seq = encode(
         params, cfg, hidden, attention_mask,
         deterministic=deterministic, dropout_rng=r_enc,

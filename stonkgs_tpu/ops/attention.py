@@ -26,6 +26,28 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def default_infer_impl() -> str:
+    """Attention impl for inference paths ("auto" resolves per seq len)."""
+    return "auto"
+
+
+def resolve_infer_impl(impl: str, seq_len: int):
+    """Resolve "auto" to the fastest measured impl for this sequence.
+
+    Measured on v5e (B=128, H=12, D=64, bf16, in-model): the Pallas
+    inference flash kernel wins at 512 tokens (trunk 138.7 -> 127.5 ms —
+    XLA attention is HBM-bound on score materialization there) but LOSES
+    at 256 tokens (backbone 62.0 -> 69.6 ms — the scores are small enough
+    that XLA's fusion with the surrounding projections beats the Pallas
+    call's fusion barrier + layout transposes).
+    """
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "tpu" and seq_len >= 384:
+        return "flash"
+    return "xla"
+
+
 def _sharded_flash(
     mesh, q, k, v, bias, dropout_rate, dropout_rng,
 ):
@@ -71,11 +93,18 @@ def dot_product_attention(
     impl="xla",
 ) -> Array:
     """Scaled dot-product attention. Returns (B, S, H, D)."""
+    if impl == "auto":
+        impl = resolve_infer_impl("auto", q.shape[1])
     if impl == "flash" or (isinstance(impl, tuple) and impl[0] == "flash"):
         rate = 0.0 if deterministic else dropout_rate
         mesh = impl[1] if isinstance(impl, tuple) else None
         if mesh is not None and mesh.size > 1:
             return _sharded_flash(mesh, q, k, v, bias, rate, dropout_rng)
+        if deterministic:
+            # no dropout and no VJP needed: the bf16-MXU inference kernel
+            # (the train kernel upcasts to fp32 and pays quarter-rate MXU)
+            from stonkgs_tpu.ops.flash_attention import flash_attention_infer
+            return flash_attention_infer(q, k, v, bias=bias)
         from stonkgs_tpu.ops.flash_attention import flash_attention_train
         return flash_attention_train(
             q, k, v, bias=bias, dropout_rate=rate, dropout_rng=dropout_rng,

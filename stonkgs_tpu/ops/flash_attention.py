@@ -345,6 +345,126 @@ def _flash_train_bwd(rate, block_q, interpret, res, g):
 _flash_train.defvjp(_flash_train_fwd, _flash_train_bwd)
 
 
+# ---------------------------------------------------------------------------
+# inference kernel (bf16 MXU compute, no dropout, no VJP)
+# ---------------------------------------------------------------------------
+
+def _infer_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                  heads: int):
+    """One (batch, q-block) program, ALL heads unrolled inside.
+
+    Two design points vs ``_train_fwd_kernel``:
+      * matmuls run on the INPUT dtype (bf16) with fp32 accumulation —
+        the train kernel upcasts to fp32 and pays quarter-rate MXU;
+      * the head loop lives inside the program (grid is B x q-blocks, not
+        B x H x q-blocks): 12x fewer program launches, whose fixed cost
+        dominated at seq 256.
+    Softmax stays in fp32.
+    """
+    bias = bias_ref[0, 0]                          # (1, S) fp32
+    for h in range(heads):
+        q = q_ref[0, h]                            # (bq, D)  input dtype
+        k = k_ref[0, h]                            # (S, D)
+        v = v_ref[0, h]                            # (S, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias                           # (bq, S) fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        pn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            pn, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def flash_attention_infer(
+    q: Array,  # (B, S, H, D)
+    k: Array,
+    v: Array,
+    bias: Optional[Array] = None,  # (B, 1, 1, S) additive key bias
+    *,
+    block_q: int = 512,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Inference-optimized flash attention: bf16 MXU matmuls, fp32 softmax.
+
+    Differentiable via custom VJP, but the backward path re-runs the
+    fp32 TRAIN forward kernel to obtain logsumexp residuals — use
+    :func:`flash_attention_train` for real training (and for dropout).
+    Drives the embedding-extraction path (the reference's per-row loop,
+    ``stonkgs_for_embeddings.py:176-184``)."""
+    return _flash_infer(q, k, v, bias, block_q, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_infer(q, k, v, bias, block_q, interpret):
+    return _infer_call(q, k, v, bias, block_q, interpret)
+
+
+def _flash_infer_fwd(q, k, v, bias, block_q, interpret):
+    # under differentiation: run the TRAIN forward (fp32 compute, saves
+    # logsumexp) so the existing train backward kernel can be reused
+    seed = jnp.zeros((2,), jnp.int32)
+    bq = min(block_q, 256)
+    out, lse, (qt, kt, vt, kb) = _train_call_fwd(
+        q, k, v, bias, seed, 0.0, bq, interpret)
+    S = q.shape[1]
+    primal = jnp.transpose(out[:, :, :S, :], (0, 2, 1, 3))
+    return primal, (qt, kt, vt, kb, out, lse, seed, bias)
+
+
+def _flash_infer_bwd(block_q, interpret, res, g):
+    dq, dk, dv, (dbias, _) = _flash_train_bwd(
+        0.0, min(block_q, 256), interpret, res, g)
+    return dq, dk, dv, dbias
+
+
+_flash_infer.defvjp(_flash_infer_fwd, _flash_infer_bwd)
+
+
+def _infer_call(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Optional[Array],
+    block_q: int,
+    interpret: Optional[bool],
+) -> Array:
+    B, S, H, D = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    scale = 1.0 / (D ** 0.5)
+    bq, S_pad = _pad_block(S, block_q)
+    qt, kt, vt, key_bias = _prep(q, k, v, bias, S_pad)
+    grid = (B, S_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(_infer_kernel, scale=scale, heads=H),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, bq, D), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, S_pad, D), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, S_pad, D), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, bq, D), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, S_pad, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S_pad * S_pad * D,
+            bytes_accessed=4 * B * H * S_pad * D * q.dtype.itemsize,
+            transcendentals=B * H * S_pad * S_pad,
+        ),
+        interpret=interpret,
+    )(qt, kt, vt, key_bias)
+    return jnp.transpose(out[:, :, :S, :], (0, 2, 1, 3))
+
+
 def flash_attention_train(
     q: Array,  # (B, S, H, D)
     k: Array,

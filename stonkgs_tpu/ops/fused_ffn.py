@@ -1,0 +1,143 @@
+"""Fused FFN Pallas kernel: dense -> exact gelu -> dense, one HBM pass.
+
+XLA runs the BERT FFN pair as two GEMMs with the (M, intermediate)
+activation materialized in HBM between them (plus a separate gelu loop
+fusion): measured 5.35 ms at (M=65536, 768->3072->768, bf16) vs a
+3.13 ms pure-GEMM floor on v5e.  This kernel keeps the intermediate in
+VMEM — the GEMMs read/write HBM exactly once for x, y, and the weights.
+
+Differentiable via custom VJP: the backward recomputes the reference
+(XLA) forward and uses its VJP — correct for training, while the fast
+kernel serves the inference/extraction hot path (reference equivalent:
+the BertIntermediate/BertOutput pair inside
+``/root/reference/src/stonkgs/models/stonkgs_model.py:204-210``'s trunk).
+
+Numerics: GEMMs accumulate in fp32 from bf16 inputs, gelu (erf form,
+matching HF's "gelu") computed in fp32, intermediate stored bf16 —
+the same dtype discipline as the unfused bf16 path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|error| < 1.5e-7 in fp32).
+
+    Mosaic has no erf/erfc lowering; 1.5e-7 absolute error is ~4 orders
+    of magnitude below bf16 resolution, so the fused gelu is
+    indistinguishable from the exact-erf XLA path at the stored dtype.
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[...]                                     # (bm, H) input dtype
+    h = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)                # (bm, I) fp32
+    # erf-form gelu (matches HF "gelu"), erf approximated in-kernel
+    h = (0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)                # (bm, H) fp32
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _ffn_call(x, w1, b1, w2, b2, block_m: int, interpret: Optional[bool]):
+    orig_shape = x.shape
+    H = orig_shape[-1]
+    I = w1.shape[-1]
+    x2 = x.reshape(-1, H)
+    M = x2.shape[0]
+    bm = min(block_m, M)
+    M_pad = -(-M // bm) * bm
+    if M_pad != M:
+        x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    out = pl.pallas_call(
+        _ffn_kernel,
+        grid=(M_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # constant index: weights are fetched once and stay resident
+            pl.BlockSpec((H, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M_pad, H), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M_pad * H * I,
+            bytes_accessed=(2 * M_pad * H + 2 * H * I) * x.dtype.itemsize,
+            transcendentals=M_pad * I,
+        ),
+        interpret=interpret,
+    )(x2, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2)
+    return out[:M].reshape(orig_shape)
+
+
+def _ffn_reference(x, w1, b1, w2, b2):
+    """Unfused XLA forward with identical dtype discipline (bwd + tests)."""
+    h = (
+        jnp.einsum("...i,io->...o", x, w1.astype(x.dtype)).astype(jnp.float32)
+        + b1.astype(jnp.float32)
+    )
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    y = (
+        jnp.einsum("...i,io->...o", h, w2.astype(x.dtype)).astype(jnp.float32)
+        + b2.astype(jnp.float32)
+    )
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_ffn(x, w1, b1, w2, b2, block_m, interpret):
+    return _ffn_call(x, w1, b1, w2, b2, block_m, interpret)
+
+
+def _fused_ffn_fwd(x, w1, b1, w2, b2, block_m, interpret):
+    return _ffn_call(x, w1, b1, w2, b2, block_m, interpret), (x, w1, b1, w2, b2)
+
+
+def _fused_ffn_bwd(block_m, interpret, res, g):
+    # backward recomputes the unfused forward under jax.vjp — used only on
+    # training paths, where the FFN pair is inside remat scopes anyway
+    _, vjp = jax.vjp(_ffn_reference, *res)
+    return vjp(g)
+
+
+_fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
+
+
+def fused_ffn(
+    x: Array,          # (..., H)
+    w1: Array,         # (H, I)
+    b1: Array,         # (I,)
+    w2: Array,         # (I, H)
+    b2: Array,         # (H,)
+    *,
+    block_m: int = 512,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """dense(H->I) -> exact gelu -> dense(I->H), intermediate kept in VMEM."""
+    return _fused_ffn(x, w1, b1, w2, b2, block_m, interpret)

@@ -58,10 +58,23 @@ class CheckpointManager:
         step = self._mngr.latest_step()
         if step is None:
             return None
-        restored = self._mngr.restore(
-            step,
-            args=ocp.args.StandardRestore(template_state.tree()),
-        )
+        try:
+            restored = self._mngr.restore(
+                step,
+                args=ocp.args.StandardRestore(template_state.tree()),
+            )
+        except ValueError as e:
+            if "structure" in str(e).lower() or "tree" in str(e).lower():
+                raise ValueError(
+                    f"checkpoint at step {step} does not match the current "
+                    "train-state structure. Most likely it predates the "
+                    "structural-freezing optimizer format (round 3: "
+                    "opt_state covers only the TRAINABLE subtree and the "
+                    "chain layout changed from multi_transform to a plain "
+                    "chain). Re-export the checkpoint or resume with the "
+                    f"matching code version. Original error: {e}"
+                ) from e
+            raise
         import dataclasses
 
         return dataclasses.replace(

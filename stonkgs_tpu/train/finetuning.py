@@ -188,9 +188,9 @@ def train_classifier(
 
 # jitted eval forwards keyed by (logits_fn, cfg, dtype): a fresh jax.jit
 # per call would recompile the identical graph once per CV fold.  Bounded
-# FIFO eviction: callers passing a fresh closure per call would otherwise
-# accumulate compiled executables for the process lifetime — ``logits_fn``
-# should be a stable callable to actually hit the cache.
+# LRU eviction (hits move to the end): callers passing a fresh closure per
+# call recompile anyway, but their churn must not evict warm entries for
+# stable callers — ``logits_fn`` should be a stable callable to hit.
 _PREDICT_CACHE: dict = {}
 _PREDICT_CACHE_MAX = 16
 
@@ -210,7 +210,12 @@ def predict(
     base = logits_fn if logits_fn is not None else stonkgs.classification_logits
     key = (base, cfg, jnp.dtype(compute_dtype).name)
     fn = _PREDICT_CACHE.get(key)
-    if fn is None:
+    if fn is not None:
+        # LRU: refresh on hit so closure-per-call churn evicts itself,
+        # not the warm entries of stable callers
+        _PREDICT_CACHE.pop(key)
+        _PREDICT_CACHE[key] = fn
+    else:
         while len(_PREDICT_CACHE) >= _PREDICT_CACHE_MAX:
             _PREDICT_CACHE.pop(next(iter(_PREDICT_CACHE)))
         fn = _PREDICT_CACHE[key] = jax.jit(

@@ -154,20 +154,25 @@ class FusedClippedAdamW:
         return "count" in getattr(x, "_fields", ())
 
     def _counts(self, state):
-        """Locate the adam state (count/mu/nu) and the schedule state."""
-        # chain state: (ClipState?, (ScaleByAdamState, MaskedState,
-        # ScaleByScheduleState)) — walk the leaves for the named states
-        adam = None
-        sched = None
+        """Locate the adam state (count/mu/nu) and the schedule state.
+
+        Matches by shape (``mu`` field present or not) and asserts
+        EXACTLY one candidate of each kind: a future chain with an extra
+        counted transform (zero_nans, a second schedule) must fail loudly
+        here instead of being silently mislabeled by a last-one-wins walk.
+        """
+        adams = []
+        scheds = []
         for s in jax.tree_util.tree_leaves(
                 state, is_leaf=self._is_counted_state):
             if not self._is_counted_state(s):
                 continue
-            if hasattr(s, "mu"):
-                adam = s
-            else:
-                sched = s
-        return adam, sched
+            (adams if hasattr(s, "mu") else scheds).append(s)
+        assert len(adams) == 1 and len(scheds) == 1, (
+            f"fused AdamW expects exactly one adam state and one schedule "
+            f"state in the chain, found {len(adams)} adam / {len(scheds)} "
+            f"schedule-like: {state}")
+        return adams[0], scheds[0]
 
     def update_and_apply(self, grads, state, params):
         """Fused clip + AdamW + apply: returns (new_params, new_state)."""
@@ -186,12 +191,16 @@ class FusedClippedAdamW:
 
         def leaf(g, m, v, p):
             g = g.astype(jnp.float32) * scale
-            m2 = self.b1 * m + (1.0 - self.b1) * g
-            v2 = self.b2 * v + (1.0 - self.b2) * jnp.square(g)
+            m2 = self.b1 * m.astype(jnp.float32) + (1.0 - self.b1) * g
+            v2 = self.b2 * v.astype(jnp.float32) + (1.0 - self.b2) * jnp.square(g)
             upd = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + self.eps)
             if self.weight_decay and getattr(p, "ndim", 0) >= 2:
                 upd = upd + self.weight_decay * p
-            return m2, v2, (p - lr * upd).astype(p.dtype)
+            # moments keep their STORED dtype (optax mu_dtype follows the
+            # param dtype): fp32 math, but no silent opt_state dtype drift
+            # vs init()/update() if trainables are ever bf16
+            return (m2.astype(m.dtype), v2.astype(v.dtype),
+                    (p - lr * upd).astype(p.dtype))
 
         out = jax.tree.map(leaf, grads, adam.mu, adam.nu, params)
         new_mu = jax.tree.map(lambda t: t[0], out,

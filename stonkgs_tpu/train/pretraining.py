@@ -479,6 +479,13 @@ def pretrain(
             or step + 1 == run_cfg.max_steps
             or stopping
         ):
+            # flush the deferred metrics fetch FIRST: the non-finite-loss
+            # watchdog must get its chance to raise before this save can
+            # rotate out the last known-good checkpoint (the deferred
+            # fetch otherwise trips up to one log interval late)
+            if pending is not None:
+                fetch_and_log(*pending)
+                pending = None
             # mid-run saves overlap their finalization with training; the
             # final/stop save blocks so the files are durable on return
             final = step + 1 == run_cfg.max_steps or stopping

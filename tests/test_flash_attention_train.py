@@ -233,3 +233,66 @@ def test_dot_product_attention_training_routes_to_kernel():
         deterministic=False, impl="flash")
     base = dot_product_attention(q, k, v, bias, impl="flash")
     assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+# ---------------------------------------------------------------------------
+# inference kernel (bf16 MXU compute, custom VJP delegating to train kernels)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("S", [48, 64])
+def test_infer_forward_matches_xla(S):
+    from stonkgs_tpu.ops.flash_attention import flash_attention_infer
+
+    rng = np.random.default_rng(7)
+    q, k, v, bias = _qkv(rng, S=S)
+    ref = dot_product_attention(q, k, v, bias, impl="xla")
+    got = flash_attention_infer(q, k, v, bias, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_infer_no_bias_and_bf16():
+    from stonkgs_tpu.ops.flash_attention import flash_attention_infer
+
+    rng = np.random.default_rng(8)
+    q, k, v, _ = _qkv(rng, dtype=jnp.bfloat16)
+    ref = dot_product_attention(q, k, v, None, impl="xla")
+    got = flash_attention_infer(q, k, v, None, block_q=32, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_infer_gradients_match_xla():
+    """The custom VJP routes backward through the train kernels."""
+    from stonkgs_tpu.ops.flash_attention import flash_attention_infer
+
+    rng = np.random.default_rng(9)
+    q, k, v, bias = _qkv(rng)
+    w = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss(fn, q, k, v, bias):
+        return jnp.sum(fn(q, k, v, bias) * w)
+
+    ref = jax.grad(
+        lambda *a: loss(lambda q, k, v, b: dot_product_attention(
+            q, k, v, b, impl="xla"), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    got = jax.grad(
+        lambda *a: loss(lambda q, k, v, b: flash_attention_infer(
+            q, k, v, b, block_q=32, interpret=True), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("q k v bias".split(), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_auto_impl_resolution():
+    from stonkgs_tpu.ops.attention import resolve_infer_impl
+
+    # on CPU "auto" must always resolve to xla
+    assert resolve_infer_impl("auto", 512) == "xla"
+    assert resolve_infer_impl("auto", 256) == "xla"
+    assert resolve_infer_impl("flash", 512) == "flash"

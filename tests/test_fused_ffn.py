@@ -1,0 +1,89 @@
+"""Fused FFN Pallas kernel (dense -> erf-gelu -> dense) vs the XLA path.
+
+Runs in interpreter mode on CPU.  Covers: forward parity in fp32 and
+bf16, the in-kernel polynomial erf against jax.lax.erf, M-padding, and
+the custom-VJP gradient path (backward recomputes the unfused forward).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stonkgs_tpu.ops.fused_ffn import _erf, _ffn_reference, fused_ffn
+
+
+def _inputs(rng, M=24, H=32, I=64, dtype=jnp.float32):
+    x = jnp.asarray(rng.standard_normal((M, H)) * 0.5, dtype)
+    w1 = jnp.asarray(rng.standard_normal((H, I)) * 0.1, dtype)
+    b1 = jnp.asarray(rng.standard_normal((I,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((I, H)) * 0.1, dtype)
+    b2 = jnp.asarray(rng.standard_normal((H,)) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def test_erf_poly_accuracy():
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    got = _erf(x)
+    ref = jax.lax.erf(x)
+    # Abramowitz-Stegun 7.1.26: |error| < 1.5e-7 analytically; fp32
+    # evaluation of the polynomial adds a few ulp on top
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("M", [16, 24])  # 24 exercises block padding (bm=16)
+def test_forward_matches_reference_fp32(M):
+    rng = np.random.default_rng(0)
+    args = _inputs(rng, M=M)
+    ref = _ffn_reference(*args)
+    got = fused_ffn(*args, block_m=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_forward_bf16_and_3d_input():
+    rng = np.random.default_rng(1)
+    x, w1, b1, w2, b2 = _inputs(rng, M=32, dtype=jnp.bfloat16)
+    x3 = x.reshape(2, 16, -1)
+    ref = _ffn_reference(x3, w1, b1, w2, b2)
+    got = fused_ffn(x3, w1, b1, w2, b2, block_m=16, interpret=True)
+    assert got.shape == x3.shape and got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_gradients_match_reference():
+    rng = np.random.default_rng(2)
+    args = _inputs(rng)
+    w = jnp.asarray(rng.standard_normal(args[0].shape), jnp.float32)
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a) * w)
+
+    ref = jax.grad(lambda *a: loss(_ffn_reference, *a),
+                   argnums=tuple(range(5)))(*args)
+    got = jax.grad(
+        lambda *a: loss(
+            lambda *b: fused_ffn(*b, block_m=16, interpret=True), *a),
+        argnums=tuple(range(5)))(*args)
+    for name, a, b in zip("x w1 b1 w2 b2".split(), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-6, rtol=1e-5,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_encoder_layer_routes_to_xla_on_cpu():
+    """On CPU the encoder layer must use the unfused path (no Pallas)."""
+    from stonkgs_tpu.config import BertConfig
+    from stonkgs_tpu.models import bert
+
+    cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=32)
+    params = bert.init_bert_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.arange(8, dtype=jnp.int32)[None, :]
+    seq, pooled = bert.bert_model(params, cfg, input_ids=ids)
+    assert np.isfinite(np.asarray(seq)).all()
+    assert np.isfinite(np.asarray(pooled)).all()
