@@ -97,15 +97,14 @@ def measure(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000,
     if pretrain:
         from stonkgs_tpu.train.optimizer import make_optimizer
         from stonkgs_tpu.train.pretraining import (
-            init_train_state, make_train_step)
+            init_train_state, make_train_step, resolve_train_impl)
 
         tx = make_optimizer(params, learning_rate=1e-4, total_steps=1000)
         state = init_train_state(params, tx)
-        on_tpu = jax.default_backend() == "tpu"
+        remat, attn = resolve_train_impl("auto", "auto")
         step_fn = make_train_step(
             cfg, tx, compute_dtype=jnp.bfloat16,
-            remat="attention" if on_tpu else "full",
-            attention_impl="flash" if on_tpu else "xla",
+            remat=remat, attention_impl=attn,
         )
         tbatch = synthetic_batch(cfg, pretrain_batch,
                                  with_pretraining_labels=True)
@@ -114,8 +113,8 @@ def measure(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000,
         pretrain_eps = pretrain_batch / tdt
         print(json.dumps({
             "metric": "pre-training throughput (stonkgs MLM+ELM+NSP, bf16, "
-                      f"batch {pretrain_batch}, flash+attention-remat, "
-                      f"kg_vocab {kg_vocab})",
+                      f"batch {pretrain_batch}, attention={attn}, "
+                      f"remat={remat}, kg_vocab {kg_vocab})",
             "value": round(pretrain_eps, 1),
             "unit": "examples/sec/chip",
             "vs_baseline": None,

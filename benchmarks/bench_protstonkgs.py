@@ -72,18 +72,24 @@ def main(batch_size: int = 8, steps: int = 8, kg_vocab: int = 20_000):
 
 
 def train(batch_size: int = 2, steps: int = 4, kg_vocab: int = 20_000,
-          sparse_impl: str = "pallas", remat: str = "full"):
+          sparse_impl: str = "pallas", remat: str = "full",
+          block_size: int = 64):
     """Pre-training step throughput (MLM+ELM+ProtLM, remat, AdamW).
 
     ``sparse_impl="pallas"`` exercises the block-sparse custom VJP;
     ``"xla"`` is the reference lowering (round-1 training path).
     ``remat``: "full" (conservative full-layer trunk checkpoint),
-    "attention" (selective — FFN activations saved), or "none"."""
+    "attention" (selective — FFN activations saved), or "none".
+    ``block_size=128`` is the opt-in speed mode for FROM-SCRATCH
+    pre-training (the 64-token default matches the reference/HF
+    checkpoints, ``protstonkgs_model.py:137-139``; 128-wide blocks fill
+    the 128x128 MXU — measured 15.6 vs 6.6 TFLOP/s at the op level)."""
     from stonkgs_tpu.config import BigBirdConfig
     from stonkgs_tpu.train.optimizer import make_optimizer
     from stonkgs_tpu.train.pretraining import init_train_state, make_train_step
 
-    cfg = ProtSTonKGsConfig(trunk=BigBirdConfig(), kg_vocab_size=kg_vocab)
+    cfg = ProtSTonKGsConfig(trunk=BigBirdConfig(block_size=block_size),
+                            kg_vocab_size=kg_vocab)
     params = fast_init(lambda: protstonkgs.init_protstonkgs_params(
         jax.random.PRNGKey(0), cfg))
     # frozen backbones in bf16 (they take no gradients)
@@ -131,7 +137,8 @@ def train(batch_size: int = 2, steps: int = 4, kg_vocab: int = 20_000,
 
     _, dt = timed_train_steps(step_fn, state, batch, steps=steps, warmup=2)
     emit(
-        f"ProtSTonKGs pre-training step [block-sparse {sparse_impl}] "
+        f"ProtSTonKGs pre-training step [block-sparse {sparse_impl}, "
+        f"block {cfg.trunk.block_size}] "
         f"(bf16, B={B}, seq 4096, remat={remat}, kg_vocab {kg_vocab})",
         B / dt, "seq/sec/chip", step_ms=round(dt * 1e3, 1),
     )
@@ -146,10 +153,13 @@ if __name__ == "__main__":
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--sparse-impl", default="pallas",
                     choices=["pallas", "xla", "auto"])
+    ap.add_argument("--block-size", type=int, default=64,
+                    help="BigBird block size (128 = from-scratch speed mode)")
     ap.add_argument("--remat", default="full",
                     choices=["full", "attention", "none"])
     a = ap.parse_args()
     if a.train:
-        train(a.batch_size or 2, a.steps, a.kg_vocab, a.sparse_impl, a.remat)
+        train(a.batch_size or 2, a.steps, a.kg_vocab, a.sparse_impl, a.remat,
+              a.block_size)
     else:
         main(a.batch_size or 8, a.steps, a.kg_vocab)

@@ -292,20 +292,23 @@ def encoder_layer(
     x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
 
     if (
-        deterministic
-        and precision is None
-        and cfg.hidden_act == "gelu"
+        precision is None
+        and cfg.hidden_act in ("gelu", "gelu_new")
         and "kernel" in lp["intermediate"]
         and jax.default_backend() == "tpu"
     ):
-        # inference fast path: Pallas fused dense->gelu->dense keeps the
-        # (M, intermediate) activation in VMEM — measured 3.74 vs 5.35 ms
-        # per trunk FFN pair on v5e (ops/fused_ffn.py)
+        # Pallas fused dense->gelu->dense keeps the (M, intermediate)
+        # activation in VMEM — measured 3.74 vs 5.35 ms per trunk FFN pair
+        # on v5e (ops/fused_ffn.py).  In training its custom VJP
+        # recomputes the intermediates, so the bf16[L, B, S, 4H] buffers
+        # that dominated attention-remat HBM (9.2 GB at TransE B=128)
+        # never exist in either direction.
         from stonkgs_tpu.ops.fused_ffn import fused_ffn
 
         ff = fused_ffn(
             x, lp["intermediate"]["kernel"], lp["intermediate"]["bias"],
             lp["output"]["kernel"], lp["output"]["bias"],
+            act=cfg.hidden_act,
         )
     else:
         ff = activation(cfg.hidden_act)(dense(x, lp["intermediate"], precision))

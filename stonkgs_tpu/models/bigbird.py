@@ -227,8 +227,26 @@ def bigbird_model(
         attn_out = attn_block(x, ap, la_rand)
         attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
         x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
-        ff = activation(cfg.hidden_act)(dense(x, lp["intermediate"], precision))
-        ff = dense(ff, lp["output"], precision)
+        if (
+            precision is None
+            and cfg.hidden_act in ("gelu", "gelu_new")
+            and "kernel" in lp["intermediate"]
+            and jax.default_backend() == "tpu"
+        ):
+            # fused Pallas FFN (see bert.encoder_layer): VMEM-resident
+            # intermediate, custom VJP recomputes — at seq 4096 the saved
+            # bf16[L, B, S, 4H] buffers are what OOMed B=8 training
+            from stonkgs_tpu.ops.fused_ffn import fused_ffn
+
+            ff = fused_ffn(
+                x, lp["intermediate"]["kernel"], lp["intermediate"]["bias"],
+                lp["output"]["kernel"], lp["output"]["bias"],
+                act=cfg.hidden_act,
+            )
+        else:
+            ff = activation(cfg.hidden_act)(
+                dense(x, lp["intermediate"], precision))
+            ff = dense(ff, lp["output"], precision)
         ff = dropout(ff, cfg.hidden_dropout_prob, r_ff, deterministic)
         return layer_norm(x + ff, lp["output_layer_norm"], cfg.layer_norm_eps)
 

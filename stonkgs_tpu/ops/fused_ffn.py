@@ -45,14 +45,25 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _gelu_new(x):
+    """tanh-form gelu (HF "gelu_new"), exactly as jax.nn.gelu(approximate=True)."""
+    c = (2.0 / jnp.pi) ** 0.5
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act: str):
     x = x_ref[...]                                     # (bm, H) input dtype
     h = jax.lax.dot_general(
         x, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[...].astype(jnp.float32)                # (bm, I) fp32
-    # erf-form gelu (matches HF "gelu"), erf approximated in-kernel
-    h = (0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))).astype(x.dtype)
+    if act == "gelu":
+        # erf-form gelu (matches HF "gelu"), erf approximated in-kernel
+        h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+    else:
+        assert act == "gelu_new", act
+        h = _gelu_new(h)
+    h = h.astype(x.dtype)
     y = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -60,7 +71,8 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _ffn_call(x, w1, b1, w2, b2, block_m: int, interpret: Optional[bool]):
+def _ffn_call(x, w1, b1, w2, b2, act: str, block_m: int,
+              interpret: Optional[bool]):
     orig_shape = x.shape
     H = orig_shape[-1]
     I = w1.shape[-1]
@@ -73,7 +85,7 @@ def _ffn_call(x, w1, b1, w2, b2, block_m: int, interpret: Optional[bool]):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     out = pl.pallas_call(
-        _ffn_kernel,
+        functools.partial(_ffn_kernel, act=act),
         grid=(M_pad // bm,),
         in_specs=[
             pl.BlockSpec((bm, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -96,13 +108,13 @@ def _ffn_call(x, w1, b1, w2, b2, block_m: int, interpret: Optional[bool]):
     return out[:M].reshape(orig_shape)
 
 
-def _ffn_reference(x, w1, b1, w2, b2):
+def _ffn_reference(x, w1, b1, w2, b2, act: str = "gelu"):
     """Unfused XLA forward with identical dtype discipline (bwd + tests)."""
     h = (
         jnp.einsum("...i,io->...o", x, w1.astype(x.dtype)).astype(jnp.float32)
         + b1.astype(jnp.float32)
     )
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=(act == "gelu_new")).astype(x.dtype)
     y = (
         jnp.einsum("...i,io->...o", h, w2.astype(x.dtype)).astype(jnp.float32)
         + b2.astype(jnp.float32)
@@ -110,19 +122,21 @@ def _ffn_reference(x, w1, b1, w2, b2):
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused_ffn(x, w1, b1, w2, b2, block_m, interpret):
-    return _ffn_call(x, w1, b1, w2, b2, block_m, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_ffn(x, w1, b1, w2, b2, act, block_m, interpret):
+    return _ffn_call(x, w1, b1, w2, b2, act, block_m, interpret)
 
 
-def _fused_ffn_fwd(x, w1, b1, w2, b2, block_m, interpret):
-    return _ffn_call(x, w1, b1, w2, b2, block_m, interpret), (x, w1, b1, w2, b2)
+def _fused_ffn_fwd(x, w1, b1, w2, b2, act, block_m, interpret):
+    return (_ffn_call(x, w1, b1, w2, b2, act, block_m, interpret),
+            (x, w1, b1, w2, b2))
 
 
-def _fused_ffn_bwd(block_m, interpret, res, g):
-    # backward recomputes the unfused forward under jax.vjp — used only on
-    # training paths, where the FFN pair is inside remat scopes anyway
-    _, vjp = jax.vjp(_ffn_reference, *res)
+def _fused_ffn_bwd(act, block_m, interpret, res, g):
+    # backward recomputes the unfused forward under jax.vjp: the
+    # bf16[L, B, S, 4H] intermediates exist in NEITHER direction — this is
+    # what lets attention-remat training drop its dominant HBM buffers
+    _, vjp = jax.vjp(lambda *a: _ffn_reference(*a, act=act), *res)
     return vjp(g)
 
 
@@ -136,8 +150,9 @@ def fused_ffn(
     w2: Array,         # (I, H)
     b2: Array,         # (H,)
     *,
+    act: str = "gelu",
     block_m: int = 512,
     interpret: Optional[bool] = None,
 ) -> Array:
-    """dense(H->I) -> exact gelu -> dense(I->H), intermediate kept in VMEM."""
-    return _fused_ffn(x, w1, b1, w2, b2, block_m, interpret)
+    """dense(H->I) -> gelu/gelu_new -> dense(I->H), intermediate in VMEM."""
+    return _fused_ffn(x, w1, b1, w2, b2, act, block_m, interpret)

@@ -71,11 +71,13 @@ def resolve_train_impl(remat="auto", attention_impl="auto",
                        mesh: Optional[Mesh] = None):
     """Resolve "auto" training knobs to the measured-best configuration.
 
-    On a single TPU chip, the Pallas custom-VJP flash attention plus
-    selective (attention-only) rematerialization is the fastest
-    full-scale configuration measured (PERF.md round 2: 163 vs 105
-    examples/s/chip at per-chip batch 64); elsewhere the XLA attention
-    with full-layer remat is the safe default.
+    On a single TPU chip, the Pallas custom-VJP flash attention with NO
+    layer remat is the fastest full-scale configuration measured (PERF.md
+    round 4: 182.4 examples/s/chip at batch 32 — the fused-FFN custom VJP
+    already recomputes the FFN intermediates, and the flash VJP never
+    stores S² buffers, so the no-remat residual footprint fits to at
+    least batch 64); elsewhere the XLA attention with full-layer remat is
+    the safe default.
 
     On a multi-device ``mesh``, "auto"/"flash" resolve to
     ``("flash", mesh)``: the Mosaic custom call has no GSPMD partitioning
@@ -92,7 +94,10 @@ def resolve_train_impl(remat="auto", attention_impl="auto",
         attention_impl = ("flash", mesh)
     is_flash = attention_impl == "flash" or isinstance(attention_impl, tuple)
     if remat in (None, "auto", True):
-        remat = "attention" if is_flash else "full"
+        # flash VJP + fused-FFN VJP leave no S²/FFN buffers to shed, so
+        # remat would only add recompute (182.4 none vs 179.9 attention
+        # ex/s at B=32); non-TPU paths keep the conservative full remat
+        remat = False if (is_flash and on_tpu) else "full"
     if remat == "none":
         remat = False
     return remat, attention_impl

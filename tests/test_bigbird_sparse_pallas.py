@@ -114,3 +114,23 @@ def test_pallas_gradients_bf16_finite():
     for g in grads:
         assert g.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_pallas_matches_xla_block128():
+    """128-token blocks (the from-scratch speed mode): same kernel, same
+    oracle, wider tiles — parity must hold without any kernel change."""
+    from stonkgs_tpu.ops.bigbird_sparse import build_rand_attn
+
+    bs, S, r = 128, 1280, 2
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.5, jnp.float32)
+               for _ in range(3))
+    mask = np.ones((B, S), np.float32)
+    mask[0, -30:] = 0.0
+    mask = jnp.asarray(mask)
+    plan = jnp.asarray(build_rand_attn(S, bs, r, H, 1, S, training=True)[0])
+    ref = block_sparse_attention(q, k, v, plan, mask, bs)
+    got = block_sparse_attention_pallas(q, k, v, plan, mask, bs,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)

@@ -54,6 +54,24 @@ def test_forward_bf16_and_3d_input():
         atol=3e-2, rtol=3e-2)
 
 
+def test_gelu_new_forward_and_grads():
+    """tanh-form gelu (BigBird) matches the XLA reference in fwd and bwd."""
+    rng = np.random.default_rng(3)
+    args = _inputs(rng)
+    ref = _ffn_reference(*args, act="gelu_new")
+    got = fused_ffn(*args, act="gelu_new", block_m=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    w = jnp.asarray(rng.standard_normal(args[0].shape), jnp.float32)
+    g_ref = jax.grad(lambda x: jnp.sum(
+        _ffn_reference(x, *args[1:], act="gelu_new") * w))(args[0])
+    g_got = jax.grad(lambda x: jnp.sum(
+        fused_ffn(x, *args[1:], act="gelu_new", block_m=16,
+                  interpret=True) * w))(args[0])
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=3e-6, rtol=1e-5)
+
+
 def test_gradients_match_reference():
     rng = np.random.default_rng(2)
     args = _inputs(rng)

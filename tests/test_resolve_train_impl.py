@@ -24,7 +24,11 @@ def test_explicit_flash_on_multi_device_mesh_wraps_shard_map():
     mesh = make_mesh(n_data=4, n_model=2)
     remat, impl = resolve_train_impl("auto", "flash", mesh)
     assert impl == ("flash", mesh)
-    assert remat == "attention"
+    # off-TPU (this CPU mesh) remat auto stays conservative "full"; on TPU
+    # it resolves to False — the flash VJP + fused-FFN VJP leave no
+    # S²/FFN buffers for remat to shed (PERF.md round 4: 182.4 none vs
+    # 179.9 attention ex/s at B=32)
+    assert remat == "full"
     # idempotent: re-resolving a resolved tuple keeps it
     remat2, impl2 = resolve_train_impl(remat, impl, mesh)
     assert (remat2, impl2) == (remat, impl)
