@@ -288,15 +288,35 @@ def encoder_layer(
     if remat_attention:
         attn_block = jax.checkpoint(attn_block)
     attn_out = attn_block(x, ap)
-    attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
-    x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
 
-    if (
+    fusable_ffn = (
         precision is None
         and cfg.hidden_act in ("gelu", "gelu_new")
         and "kernel" in lp["intermediate"]
+        and "kernel" in lp["output"]
         and jax.default_backend() == "tpu"
-    ):
+    )
+    if deterministic and fusable_ffn:
+        # Inference: the whole post-attention half of the layer —
+        # LN(x+attn) -> FFN -> LN(res+ff) — runs as ONE Pallas kernel
+        # (dropouts are no-ops when deterministic, so nothing sits between
+        # the fused stages). Kills both LayerNorm HBM passes and the
+        # intermediate residual round trip (~500 MB/layer at M=65536).
+        from stonkgs_tpu.ops.fused_ffn import fused_ffn_ln_block
+
+        return fused_ffn_ln_block(
+            x, attn_out,
+            ap["output_layer_norm"]["scale"], ap["output_layer_norm"]["bias"],
+            lp["intermediate"]["kernel"], lp["intermediate"]["bias"],
+            lp["output"]["kernel"], lp["output"]["bias"],
+            lp["output_layer_norm"]["scale"], lp["output_layer_norm"]["bias"],
+            act=cfg.hidden_act, eps=cfg.layer_norm_eps,
+        )
+
+    attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
+    x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
+
+    if fusable_ffn:
         # Pallas fused dense->gelu->dense keeps the (M, intermediate)
         # activation in VMEM — measured 3.74 vs 5.35 ms per trunk FFN pair
         # on v5e (ops/fused_ffn.py).  In training its custom VJP

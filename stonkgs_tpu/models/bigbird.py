@@ -225,14 +225,31 @@ def bigbird_model(
             # attention intermediates at seq 4096) are saved
             attn_block = jax.checkpoint(attn_block)
         attn_out = attn_block(x, ap, la_rand)
-        attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
-        x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
-        if (
+        fusable_ffn = (
             precision is None
             and cfg.hidden_act in ("gelu", "gelu_new")
             and "kernel" in lp["intermediate"]
+            and "kernel" in lp["output"]
             and jax.default_backend() == "tpu"
-        ):
+        )
+        if deterministic and fusable_ffn:
+            # inference: whole post-attention half in one kernel (see
+            # bert.encoder_layer) — both LN HBM passes fused away
+            from stonkgs_tpu.ops.fused_ffn import fused_ffn_ln_block
+
+            return fused_ffn_ln_block(
+                x, attn_out,
+                ap["output_layer_norm"]["scale"],
+                ap["output_layer_norm"]["bias"],
+                lp["intermediate"]["kernel"], lp["intermediate"]["bias"],
+                lp["output"]["kernel"], lp["output"]["bias"],
+                lp["output_layer_norm"]["scale"],
+                lp["output_layer_norm"]["bias"],
+                act=cfg.hidden_act, eps=cfg.layer_norm_eps,
+            )
+        attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_ao, deterministic)
+        x = layer_norm(x + attn_out, ap["output_layer_norm"], cfg.layer_norm_eps)
+        if fusable_ffn:
             # fused Pallas FFN (see bert.encoder_layer): VMEM-resident
             # intermediate, custom VJP recomputes — at seq 4096 the saved
             # bf16[L, B, S, 4H] buffers are what OOMed B=8 training

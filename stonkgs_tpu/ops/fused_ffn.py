@@ -156,3 +156,122 @@ def fused_ffn(
 ) -> Array:
     """dense(H->I) -> gelu/gelu_new -> dense(I->H), intermediate in VMEM."""
     return _fused_ffn(x, w1, b1, w2, b2, act, block_m, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Whole post-attention half of a post-LN encoder layer, in one kernel
+# ---------------------------------------------------------------------------
+
+def _ln_rows(xs, scale, bias, eps):
+    """LayerNorm over the last axis, fp32 in / fp32 out (kernel helper)."""
+    mean = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xs - mean), axis=-1, keepdims=True)
+    y = (xs - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale + bias
+
+
+def _ffn_ln_kernel(x_ref, a_ref, g1_ref, be1_ref, w1_ref, b1_ref,
+                   w2_ref, b2_ref, g2_ref, be2_ref, o_ref,
+                   *, act: str, eps: float):
+    f32 = jnp.float32
+    # LN1(x + attn_out) — residual add + statistics in fp32, stored bf16
+    # (matches models.bert._layer_norm's promote-then-cast discipline)
+    xs = x_ref[...].astype(f32) + a_ref[...].astype(f32)
+    x2 = _ln_rows(xs, g1_ref[...].astype(f32), be1_ref[...].astype(f32),
+                  eps).astype(x_ref.dtype)
+    # FFN: dense -> gelu -> dense, (bm, I) intermediate never leaves VMEM
+    h = jax.lax.dot_general(
+        x2, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b1_ref[...].astype(f32)
+    if act == "gelu":
+        h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+    else:
+        assert act == "gelu_new", act
+        h = _gelu_new(h)
+    h = h.astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b2_ref[...].astype(f32)
+    ff = y.astype(x_ref.dtype)
+    # LN2(x2 + ff)
+    xs2 = x2.astype(f32) + ff.astype(f32)
+    out = _ln_rows(xs2, g2_ref[...].astype(f32), be2_ref[...].astype(f32),
+                   eps)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def fused_ffn_ln_block(
+    x: Array,          # (..., H) layer input (pre-attention residual)
+    attn_out: Array,   # (..., H) attention output-projection result
+    ln1_scale: Array, ln1_bias: Array,   # post-attention LayerNorm
+    w1: Array, b1: Array,                # intermediate dense (H, I)
+    w2: Array, b2: Array,                # output dense (I, H)
+    ln2_scale: Array, ln2_bias: Array,   # post-FFN LayerNorm
+    *,
+    act: str = "gelu",
+    eps: float = 1e-12,
+    block_m: int = 512,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """LN1(x+attn) -> dense -> gelu -> dense -> LN2(res+ff), one HBM pass.
+
+    The entire post-attention half of a post-LN BERT layer
+    (reference semantics: ``BertSelfOutput``/``BertIntermediate``/
+    ``BertOutput`` inside the trunk at
+    ``/root/reference/src/stonkgs/models/stonkgs_model.py:204-210``) as a
+    single Pallas kernel: the LN'd residual ``x2`` and the (M, I) FFN
+    intermediate never reach HBM, and both LayerNorm VPU passes ride the
+    GEMM pipeline.  vs the unfused chain this removes ~500 MB of HBM
+    traffic per trunk layer at M=65536 (two LN read/modify/write passes +
+    the x2 round trip).
+
+    INFERENCE ONLY: no custom VJP — the training path keeps the separate
+    ``fused_ffn`` (whose VJP recomputes the intermediates) because
+    hidden-state dropout sits between the dense outputs and the LNs.
+    Numerics: identical cast discipline to the unfused path (fp32
+    statistics, bf16 stored activations).
+    """
+    orig_shape = x.shape
+    H = orig_shape[-1]
+    I = w1.shape[-1]
+    x2 = x.reshape(-1, H)
+    a2 = attn_out.reshape(-1, H).astype(x.dtype)
+    M = x2.shape[0]
+    bm = min(block_m, M)
+    M_pad = -(-M // bm) * bm
+    if M_pad != M:
+        x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
+        a2 = jnp.pad(a2, ((0, M_pad - M), (0, 0)))
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    row = lambda i: (i, 0)          # noqa: E731
+    const2 = lambda i: (0, 0)       # noqa: E731
+    const1 = lambda i: (0,)         # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_ffn_ln_kernel, act=act, eps=float(eps)),
+        grid=(M_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, I), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((I,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), const1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, H), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M_pad, H), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M_pad * H * I,
+            bytes_accessed=(3 * M_pad * H + 2 * H * I) * x.dtype.itemsize,
+            transcendentals=M_pad * I,
+        ),
+        interpret=interpret,
+    )(x2, a2, ln1_scale, ln1_bias, w1.astype(x.dtype), b1,
+      w2.astype(x.dtype), b2, ln2_scale, ln2_bias)
+    return out[:M].reshape(orig_shape)

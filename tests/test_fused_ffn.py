@@ -92,6 +92,58 @@ def test_gradients_match_reference():
             err_msg=f"grad mismatch for {name}")
 
 
+def _unfused_block(x, attn_out, g1, be1, w1, b1, w2, b2, g2, be2,
+                   act="gelu", eps=1e-12):
+    """The exact unfused chain the fused block replaces (bert.encoder_layer
+    deterministic tail): LN1(x+attn) -> FFN -> LN2(res+ff)."""
+    from stonkgs_tpu.models.bert import layer_norm
+
+    x2 = layer_norm(x + attn_out.astype(x.dtype),
+                    {"scale": g1, "bias": be1}, eps)
+    ff = _ffn_reference(x2, w1, b1, w2, b2, act=act)
+    return layer_norm(x2 + ff, {"scale": g2, "bias": be2}, eps)
+
+
+@pytest.mark.parametrize("M,act", [(16, "gelu"), (24, "gelu_new")])
+def test_fused_ffn_ln_block_matches_unfused(M, act):
+    from stonkgs_tpu.ops.fused_ffn import fused_ffn_ln_block
+
+    rng = np.random.default_rng(7)
+    x, w1, b1, w2, b2 = _inputs(rng, M=M)
+    H = x.shape[-1]
+    attn = jnp.asarray(rng.standard_normal(x.shape) * 0.5, x.dtype)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.standard_normal(H), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.standard_normal(H), jnp.float32)
+    g2 = jnp.asarray(1.0 + 0.1 * rng.standard_normal(H), jnp.float32)
+    be2 = jnp.asarray(0.1 * rng.standard_normal(H), jnp.float32)
+    ref = _unfused_block(x, attn, g1, be1, w1, b1, w2, b2, g2, be2, act=act)
+    got = fused_ffn_ln_block(x, attn, g1, be1, w1, b1, w2, b2, g2, be2,
+                             act=act, block_m=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-6, rtol=1e-5)
+
+
+def test_fused_ffn_ln_block_bf16_3d():
+    from stonkgs_tpu.ops.fused_ffn import fused_ffn_ln_block
+
+    rng = np.random.default_rng(8)
+    x, w1, b1, w2, b2 = _inputs(rng, M=32, dtype=jnp.bfloat16)
+    H = x.shape[-1]
+    x3 = x.reshape(2, 16, H)
+    attn = jnp.asarray(rng.standard_normal(x3.shape) * 0.5, jnp.bfloat16)
+    g1 = jnp.ones((H,), jnp.float32)
+    be1 = jnp.zeros((H,), jnp.float32)
+    g2 = jnp.asarray(1.0 + 0.1 * rng.standard_normal(H), jnp.float32)
+    be2 = jnp.zeros((H,), jnp.float32)
+    ref = _unfused_block(x3, attn, g1, be1, w1, b1, w2, b2, g2, be2)
+    got = fused_ffn_ln_block(x3, attn, g1, be1, w1, b1, w2, b2, g2, be2,
+                             block_m=16, interpret=True)
+    assert got.shape == x3.shape and got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2)
+
+
 def test_encoder_layer_routes_to_xla_on_cpu():
     """On CPU the encoder layer must use the unfused path (no Pallas)."""
     from stonkgs_tpu.config import BertConfig
