@@ -91,13 +91,16 @@ def _dropout_keep(seed_ref, shape, rate: float):
 
 def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
                       o_ref, lse_ref, *, scale: float, rate: float):
-    q = q_ref[0, 0].astype(jnp.float32)          # (bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)          # (S, D)
-    v = v_ref[0, 0].astype(jnp.float32)          # (S, D)
+    # MXU dots run on the INPUT dtype (bf16 in production — full MXU rate;
+    # fp32 in CPU tests) with fp32 accumulation; softmax statistics,
+    # scaling, and the logsumexp residual stay fp32.
+    q = q_ref[0, 0]                              # (bq, D) input dtype
+    k = k_ref[0, 0]                              # (S, D)
+    v = v_ref[0, 0]                              # (S, D)
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bias_ref[0, 0]                            # (bq, S)
+    ) * scale + bias_ref[0, 0]                    # (bq, S) fp32
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -107,7 +110,7 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
         keep = _dropout_keep(seed_ref, pn.shape, rate)
         pn = jnp.where(keep, pn * (1.0 / (1.0 - rate)), 0.0)
     o_ref[0, 0] = jax.lax.dot_general(
-        pn, v, (((1,), (0,)), ((), ())),
+        pn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
@@ -116,17 +119,19 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
                       lse_ref, do_ref, dq_ref, dk_ref, dv_ref, db_ref,
                       *, scale: float, rate: float):
     h, i = pl.program_id(1), pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)          # (bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)          # (S, D)
-    v = v_ref[0, 0].astype(jnp.float32)          # (S, D)
-    o = o_ref[0, 0].astype(jnp.float32)          # (bq, D)
-    do = do_ref[0, 0].astype(jnp.float32)        # (bq, D)
+    # same dtype discipline as the forward: MXU dots on the input dtype
+    # (full-rate bf16 in production), fp32 accumulation everywhere, fp32
+    # softmax recompute / rowsum / dS algebra on the VPU
+    q = q_ref[0, 0]                              # (bq, D) input dtype
+    k = k_ref[0, 0]                              # (S, D)
+    v = v_ref[0, 0]                              # (S, D)
+    do = do_ref[0, 0]                            # (bq, D)
     lse = lse_ref[0, 0]                          # (bq, 1)
 
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bias_ref[0, 0]
+    ) * scale + bias_ref[0, 0]
     p = jnp.exp(s - lse)                          # softmax probs (bq, S)
 
     dp_tilde = jax.lax.dot_general(               # d(dropped probs)
@@ -142,11 +147,13 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
         pd = p
         dp = dp_tilde
     # sum_k pd*dp_tilde == rowsum(do*o), valid with or without dropout
-    row = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - row)                           # (bq, S)
+    row = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
+                  axis=-1, keepdims=True)
+    ds = p * (dp - row)                           # (bq, S) fp32
+    ds_lp = ds.astype(q.dtype)
 
     dq_ref[0, 0] = (scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+        ds_lp, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )).astype(dq_ref.dtype)
 
@@ -156,11 +163,11 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     dk_ref[0, 0] += scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        ds_lp, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dv_ref[0, 0] += jax.lax.dot_general(
-        pd, do, (((0,), (0,)), ((), ())),
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -353,13 +360,12 @@ def _infer_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
                   heads: int):
     """One (batch, q-block) program, ALL heads unrolled inside.
 
-    Two design points vs ``_train_fwd_kernel``:
-      * matmuls run on the INPUT dtype (bf16) with fp32 accumulation —
-        the train kernel upcasts to fp32 and pays quarter-rate MXU;
-      * the head loop lives inside the program (grid is B x q-blocks, not
-        B x H x q-blocks): 12x fewer program launches, whose fixed cost
-        dominated at seq 256.
-    Softmax stays in fp32.
+    Design point vs ``_train_fwd_kernel``: the head loop lives inside the
+    program (grid is B x q-blocks, not B x H x q-blocks) — 12x fewer
+    program launches, whose fixed cost dominated at seq 256.  (Both
+    kernels now run MXU dots on the input dtype with fp32 accumulation;
+    the train kernel additionally writes the logsumexp residual and draws
+    in-kernel dropout.)  Softmax stays in fp32.
     """
     bias = bias_ref[0, 0]                          # (1, S) fp32
     for h in range(heads):

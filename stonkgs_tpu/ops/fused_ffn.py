@@ -202,6 +202,67 @@ def _ffn_ln_kernel(x_ref, a_ref, g1_ref, be1_ref, w1_ref, b1_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _block_ref_chain(x, attn_out, ln1_scale, ln1_bias, w1, b1, w2, b2,
+                     ln2_scale, ln2_bias, *, act: str, eps: float):
+    """The unfused LN1(x+attn) -> FFN -> LN2 chain in plain JAX.
+
+    Same cast discipline as the kernel (fp32 statistics/accumulation,
+    activations stored in x.dtype).  Used only by the custom VJP's
+    backward pass, which recomputes through this chain instead of saving
+    kernel intermediates."""
+    f32 = jnp.float32
+    dt = x.dtype
+
+    def ln(y32, scale, bias):
+        m = jnp.mean(y32, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(y32 - m), axis=-1, keepdims=True)
+        yh = (y32 - m) * jax.lax.rsqrt(v + eps)
+        return yh * scale.astype(f32) + bias.astype(f32)
+
+    x2 = ln(x.astype(f32) + attn_out.astype(f32),
+            ln1_scale, ln1_bias).astype(dt)
+    h = jnp.dot(x2, w1.astype(dt), preferred_element_type=f32) \
+        + b1.astype(f32)
+    if act == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        h = _gelu_new(h)
+    ff = (jnp.dot(h.astype(dt), w2.astype(dt), preferred_element_type=f32)
+          + b2.astype(f32)).astype(dt)
+    out = ln(x2.astype(f32) + ff.astype(f32), ln2_scale, ln2_bias)
+    return out.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def _fused_block(x, attn_out, ln1_scale, ln1_bias, w1, b1, w2, b2,
+                 ln2_scale, ln2_bias, act, eps, block_m, interpret):
+    return _fused_block_fwd(x, attn_out, ln1_scale, ln1_bias, w1, b1,
+                            w2, b2, ln2_scale, ln2_bias,
+                            act, eps, block_m, interpret)[0]
+
+
+def _fused_block_fwd(x, attn_out, ln1_scale, ln1_bias, w1, b1, w2, b2,
+                     ln2_scale, ln2_bias, act, eps, block_m, interpret):
+    out = _fused_block_call(x, attn_out, ln1_scale, ln1_bias, w1, b1,
+                            w2, b2, ln2_scale, ln2_bias,
+                            act=act, eps=eps, block_m=block_m,
+                            interpret=interpret)
+    return out, (x, attn_out, ln1_scale, ln1_bias, w1, b1, w2, b2,
+                 ln2_scale, ln2_bias)
+
+
+def _fused_block_bwd(act, eps, block_m, interpret, res, g):
+    # Recompute-based backward: differentiate the unfused reference chain
+    # from the saved INPUTS (cheap bf16 tensors; no kernel intermediates
+    # are ever stored).  Gradients come back in each argument's own dtype.
+    _, vjp = jax.vjp(
+        functools.partial(_block_ref_chain, act=act, eps=eps), *res)
+    return vjp(g)
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
 def fused_ffn_ln_block(
     x: Array,          # (..., H) layer input (pre-attention residual)
     attn_out: Array,   # (..., H) attention output-projection result
@@ -227,12 +288,36 @@ def fused_ffn_ln_block(
     traffic per trunk layer at M=65536 (two LN read/modify/write passes +
     the x2 round trip).
 
-    INFERENCE ONLY: no custom VJP — the training path keeps the separate
-    ``fused_ffn`` (whose VJP recomputes the intermediates) because
-    hidden-state dropout sits between the dense outputs and the LNs.
+    Aimed at inference (the deterministic encoder tail, where dropout is
+    a no-op and nothing sits between the fused stages), but DIFFERENTIABLE:
+    a custom VJP recomputes gradients through the equivalent unfused chain
+    from the saved inputs, so deterministic forwards under ``jax.grad``
+    (frozen-backbone ablations, benchmark probes) stay correct — at
+    unfused-recompute cost, which real training never pays because its
+    dropout path uses ``fused_ffn`` + explicit LayerNorms instead.
     Numerics: identical cast discipline to the unfused path (fp32
     statistics, bf16 stored activations).
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    return _fused_block(x, attn_out, ln1_scale, ln1_bias, w1, b1, w2, b2,
+                        ln2_scale, ln2_bias, act, float(eps), block_m,
+                        interpret)
+
+
+def _fused_block_call(
+    x: Array,
+    attn_out: Array,
+    ln1_scale: Array, ln1_bias: Array,
+    w1: Array, b1: Array,
+    w2: Array, b2: Array,
+    ln2_scale: Array, ln2_bias: Array,
+    *,
+    act: str,
+    eps: float,
+    block_m: int,
+    interpret: bool,
+) -> Array:
     orig_shape = x.shape
     H = orig_shape[-1]
     I = w1.shape[-1]
@@ -244,8 +329,6 @@ def fused_ffn_ln_block(
     if M_pad != M:
         x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
         a2 = jnp.pad(a2, ((0, M_pad - M), (0, 0)))
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu",)
     row = lambda i: (i, 0)          # noqa: E731
     const2 = lambda i: (0, 0)       # noqa: E731
     const1 = lambda i: (0,)         # noqa: E731

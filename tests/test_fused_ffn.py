@@ -144,6 +144,41 @@ def test_fused_ffn_ln_block_bf16_3d():
         atol=5e-2, rtol=5e-2)
 
 
+def test_fused_ffn_ln_block_gradients():
+    """The fused block is differentiable: its custom VJP (which recomputes
+    through the unfused chain) must match autodiff of the unfused chain in
+    every argument — a deterministic forward under jax.grad (frozen-
+    backbone ablations) must not error or silently diverge."""
+    from stonkgs_tpu.ops.fused_ffn import fused_ffn_ln_block
+
+    rng = np.random.default_rng(9)
+    x, w1, b1, w2, b2 = _inputs(rng, M=16)
+    H = x.shape[-1]
+    attn = jnp.asarray(rng.standard_normal(x.shape) * 0.5, x.dtype)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.standard_normal(H), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.standard_normal(H), jnp.float32)
+    g2 = jnp.asarray(1.0 + 0.1 * rng.standard_normal(H), jnp.float32)
+    be2 = jnp.asarray(0.1 * rng.standard_normal(H), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    args = (x, attn, g1, be1, w1, b1, w2, b2, g2, be2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_ffn_ln_block(
+            *a, block_m=16, interpret=True) * w)
+
+    def loss_ref(*a):
+        return jnp.sum(_unfused_block(*a) * w)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    ref = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    names = "x attn g1 be1 w1 b1 w2 b2 g2 be2".split()
+    for name, a, b in zip(names, got, ref):
+        assert a.dtype == b.dtype, name
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
 def test_encoder_layer_routes_to_xla_on_cpu():
     """On CPU the encoder layer must use the unfused path (no Pallas)."""
     from stonkgs_tpu.config import BertConfig
