@@ -102,9 +102,17 @@ def dot_product_attention(
             return _sharded_flash(mesh, q, k, v, bias, rate, dropout_rng)
         if deterministic:
             # no dropout and no VJP needed: the bf16-MXU inference kernel
-            # (the train kernel upcasts to fp32 and pays quarter-rate MXU)
-            from stonkgs_tpu.ops.flash_attention import flash_attention_infer
-            return flash_attention_infer(q, k, v, bias=bias)
+            # (the train kernel upcasts to fp32 and pays quarter-rate MXU).
+            # It holds ALL heads' K/V per program, so its VMEM working set
+            # grows with H*S — past ~14 MB (e.g. ProtBERT H=16 S=3072)
+            # compilation fails; fall back to the per-head train kernel.
+            from stonkgs_tpu.ops.flash_attention import (
+                flash_attention_infer,
+                infer_kernel_fits,
+            )
+            _, S, H, D = q.shape
+            if infer_kernel_fits(S, H, D):
+                return flash_attention_infer(q, k, v, bias=bias)
         from stonkgs_tpu.ops.flash_attention import flash_attention_train
         return flash_attention_train(
             q, k, v, bias=bias, dropout_rate=rate, dropout_rng=dropout_rng,

@@ -385,6 +385,25 @@ def _infer_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         ).astype(o_ref.dtype)
 
 
+def infer_kernel_fits(S: int, H: int, D: int, *, block_q: int = 512,
+                      itemsize: int = 2) -> bool:
+    """Whether the all-heads-per-program inference kernel fits VMEM.
+
+    The kernel's per-program working set is the full (H, S, D) k/v blocks
+    (double-buffered by the Mosaic pipeline), the (H, bq, D) q/out blocks,
+    and the fp32 (bq, S) score/probability intermediates.  At the trunk
+    shape (H=12, S=512) that is ~4 MB; at the ProtBERT backbone shape
+    (H=16, S=3072) it is ~56 MB — past the 16 MB scoped-VMEM limit, where
+    compilation FAILS (measured round 4: the S>=384 auto-selection broke
+    the ProtSTonKGs forward until this gate).  Callers must fall back to
+    :func:`flash_attention_train`'s per-head grid for larger shapes."""
+    bq = min(block_q, S)
+    kv = 2 * 2 * H * S * D * itemsize          # k+v, double-buffered
+    qo = 2 * 2 * H * bq * D * itemsize         # q+out, double-buffered
+    scores = 2 * bq * S * 4 + bq * S * itemsize  # s, p fp32 + bf16 cast
+    return kv + qo + scores <= 14 * 1024 * 1024  # headroom under 16 MB
+
+
 def flash_attention_infer(
     q: Array,  # (B, S, H, D)
     k: Array,

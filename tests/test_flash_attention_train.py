@@ -296,3 +296,40 @@ def test_auto_impl_resolution():
     assert resolve_infer_impl("auto", 512) == "xla"
     assert resolve_infer_impl("auto", 256) == "xla"
     assert resolve_infer_impl("flash", 512) == "flash"
+
+
+def test_infer_kernel_vmem_gate():
+    """The all-heads inference kernel must be rejected at shapes whose
+    per-program VMEM working set exceeds the 16 MB scoped limit.
+
+    Round-4 regression: the S>=384 auto-selection routed the ProtBERT
+    backbone (H=16, S=3072) to the all-heads kernel, whose ~56 MB k/v
+    blocks fail Mosaic compilation on a real chip (interpret-mode CPU
+    tests cannot catch this)."""
+    from stonkgs_tpu.ops.flash_attention import infer_kernel_fits
+
+    # STonKGs trunk: 12 heads, 512 tokens, D=64 -> ~4 MB, fits
+    assert infer_kernel_fits(512, 12, 64)
+    # ProtBERT backbone: 16 heads, 3072 tokens -> ~56 MB, must NOT fit
+    assert not infer_kernel_fits(3072, 16, 64)
+    # BigBird-size full attention (12 heads, 4096) also must not fit
+    assert not infer_kernel_fits(4096, 12, 64)
+
+
+def test_deterministic_flash_falls_back_past_vmem_gate(monkeypatch):
+    """dot_product_attention(impl='flash', deterministic=True) must still
+    produce correct output at shapes where the all-heads inference kernel
+    does not fit (it silently falls back to the per-head train kernel)."""
+    import stonkgs_tpu.ops.flash_attention as fa
+
+    rng = np.random.default_rng(11)
+    q, k, v, bias = _qkv(rng, S=64)
+    ref = dot_product_attention(q, k, v, bias, impl="xla")
+
+    # force the gate shut: the flash path must route through the per-head
+    # train kernel (rate 0, rng None) and still match XLA
+    monkeypatch.setattr(fa, "infer_kernel_fits", lambda *a, **kw: False)
+    out = dot_product_attention(
+        q, k, v, bias, deterministic=True, impl="flash")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
