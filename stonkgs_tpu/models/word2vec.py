@@ -7,6 +7,12 @@ Gensim semantics preserved at the algorithm level: count-sorted vocab,
 unigram^0.75 negative-sampling table, dynamic (reduced) windows, linear
 learning-rate decay; pair generation is vectorized numpy on host, the
 embedding updates run as one jitted scatter-add SGD step on device.
+
+Measured INPUT-BOUND at production scale (round 4, PERF.md: the Python
+pair feed held the 500k-node/254M-token SGNS stage to 113.5 min while the
+device step was ~22 ms) — a fully device-resident pair pipeline
+(corpus in HBM, windows/negatives/SGD inside one ``lax.scan``) is the
+known next optimization for this stage.
 """
 
 from __future__ import annotations
