@@ -71,6 +71,54 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act: str):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+# Mosaic compiles these kernels only while the per-program working set fits
+# scoped VMEM; past it, compilation FAILS (the round-4 all-heads inference
+# flash kernel broke the ProtSTonKGs forward exactly this way — see
+# flash_attention.infer_kernel_fits).  Calibration points measured on v5e:
+# BERT-base (bm=512, 768→3072, bf16) ≈ 24 MB by this model and compiles;
+# ProtBERT (1024→4096) ≈ 36 MB and compiles; the all-heads flash kernel's
+# ~56 MB working set does NOT compile.  48 MB splits the measured
+# pass/fail shapes with margin on both sides.
+_FFN_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def ffn_kernel_fits(block_m: int, H: int, I: int, *, itemsize: int = 2,
+                    with_ln_block: bool = False) -> bool:
+    """Whether the fused-FFN kernel's per-program working set fits VMEM.
+
+    Counts: both weight matrices (constant-index blocks, single-buffered —
+    fetched once and resident), the varying input/output row blocks
+    (double-buffered by the Mosaic pipeline; the LN-block variant reads an
+    extra attn_out input), the fp32 (bm, I) intermediate plus its bf16
+    cast, and the fp32 (bm, H) pre-cast output."""
+    weights = 2 * H * I * itemsize
+    n_io = 3 if with_ln_block else 2
+    io = 2 * n_io * block_m * H * itemsize
+    inter = block_m * I * (4 + itemsize)
+    f32_out = block_m * H * 4
+    return weights + io + inter + f32_out <= _FFN_VMEM_BUDGET
+
+
+def _pick_block_m(block_m: int, M: int, H: int, I: int, *, itemsize: int,
+                  with_ln_block: bool) -> Optional[int]:
+    """Largest fitting row-block ≤ block_m, or None if nothing fits.
+
+    Shrinking bm trades pipeline efficiency for VMEM; below 128 rows the
+    GEMMs under-fill the MXU and the fused kernel stops paying for itself,
+    so callers fall back to the unfused XLA path instead."""
+    bm = min(block_m, M)
+    if ffn_kernel_fits(bm, H, I, itemsize=itemsize,
+                       with_ln_block=with_ln_block):
+        return bm
+    bm //= 2
+    while bm >= 128:
+        if ffn_kernel_fits(bm, H, I, itemsize=itemsize,
+                           with_ln_block=with_ln_block):
+            return bm
+        bm //= 2
+    return None
+
+
 def _ffn_call(x, w1, b1, w2, b2, act: str, block_m: int,
               interpret: Optional[bool]):
     orig_shape = x.shape
@@ -154,8 +202,20 @@ def fused_ffn(
     block_m: int = 512,
     interpret: Optional[bool] = None,
 ) -> Array:
-    """dense(H->I) -> gelu/gelu_new -> dense(I->H), intermediate in VMEM."""
-    return _fused_ffn(x, w1, b1, w2, b2, act, block_m, interpret)
+    """dense(H->I) -> gelu/gelu_new -> dense(I->H), intermediate in VMEM.
+
+    Gated by the kernel's VMEM working set (:func:`ffn_kernel_fits`):
+    shapes whose weights + row blocks + fp32 intermediate exceed scoped
+    VMEM run the unfused XLA path instead of failing Mosaic compilation."""
+    H, I = w1.shape[-2], w1.shape[-1]
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    bm = _pick_block_m(block_m, max(M, 1), H, I,
+                       itemsize=x.dtype.itemsize, with_ln_block=False)
+    if bm is None:
+        return _ffn_reference(x, w1, b1, w2, b2, act=act)
+    return _fused_ffn(x, w1, b1, w2, b2, act, bm, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -300,8 +360,22 @@ def fused_ffn_ln_block(
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    H, I = w1.shape[-2], w1.shape[-1]
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    bm = _pick_block_m(block_m, max(M, 1), H, I,
+                       itemsize=x.dtype.itemsize, with_ln_block=True)
+    if bm is None:
+        # working set exceeds scoped VMEM at every viable row block —
+        # run the identical-numerics unfused chain instead of failing
+        # Mosaic compilation (same gate-or-fallback contract as
+        # flash_attention.infer_kernel_fits)
+        return _block_ref_chain(x, attn_out, ln1_scale, ln1_bias, w1, b1,
+                                w2, b2, ln2_scale, ln2_bias,
+                                act=act, eps=float(eps))
     return _fused_block(x, attn_out, ln1_scale, ln1_bias, w1, b1, w2, b2,
-                        ln2_scale, ln2_bias, act, float(eps), block_m,
+                        ln2_scale, ln2_bias, act, float(eps), bm,
                         interpret)
 
 

@@ -192,3 +192,87 @@ def test_encoder_layer_routes_to_xla_on_cpu():
     seq, pooled = bert.bert_model(params, cfg, input_ids=ids)
     assert np.isfinite(np.asarray(seq)).all()
     assert np.isfinite(np.asarray(pooled)).all()
+
+
+# ---------------------------------------------------------------------------
+# VMEM working-set gate (round-5: the round-4 all-heads flash kernel
+# regression class — oversized shapes must FALL BACK, not fail Mosaic)
+# ---------------------------------------------------------------------------
+
+def test_vmem_gate_calibration_points():
+    from stonkgs_tpu.ops.fused_ffn import ffn_kernel_fits
+
+    # measured-good shapes on v5e must pass the gate
+    assert ffn_kernel_fits(512, 768, 3072)            # BERT/BigBird base
+    assert ffn_kernel_fits(512, 768, 3072, with_ln_block=True)
+    assert ffn_kernel_fits(512, 1024, 4096)           # ProtBERT backbone
+    # oversized hidden/intermediate must fail at any row block
+    assert not ffn_kernel_fits(512, 2048, 8192)
+    assert not ffn_kernel_fits(128, 2048, 8192)       # weights alone exceed
+
+
+def test_pick_block_m_honors_request_then_shrinks():
+    from stonkgs_tpu.ops.fused_ffn import _pick_block_m
+
+    # small explicit blocks (unit tests, serving) pass through untouched
+    assert _pick_block_m(16, 24, 32, 64, itemsize=4,
+                         with_ln_block=False) == 16
+    # BERT-base shape keeps the requested 512 rows
+    assert _pick_block_m(512, 65536, 768, 3072, itemsize=2,
+                         with_ln_block=False) == 512
+    # weights alone over budget: no block fits
+    assert _pick_block_m(512, 65536, 2048, 8192, itemsize=2,
+                         with_ln_block=False) is None
+    # activation-bound case: shrinks the row block instead of giving up
+    # (H=1024, I=8192: weights 32 MB; bm=512 needs ~+29 MB -> shrink)
+    got = _pick_block_m(512, 65536, 1024, 8192, itemsize=2,
+                        with_ln_block=False)
+    assert got is not None and got < 512
+
+
+def test_oversized_ffn_falls_back_not_compile(monkeypatch):
+    """An over-VMEM config must run the unfused path, never the kernel."""
+    import stonkgs_tpu.ops.fused_ffn as ff
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel invoked past the VMEM gate")
+
+    monkeypatch.setattr(ff, "_fused_ffn", boom)
+    monkeypatch.setattr(ff, "_fused_block", boom)
+
+    rng = np.random.default_rng(7)
+    H, I, M = 2048, 8192, 8   # tiny M: the WEIGHTS blow the budget
+    x = jnp.asarray(rng.standard_normal((M, H)) * 0.2, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((H, I)) * 0.02, jnp.float32)
+    b1 = jnp.zeros((I,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((I, H)) * 0.02, jnp.float32)
+    b2 = jnp.zeros((H,), jnp.float32)
+    ref = ff._ffn_reference(x, w1, b1, w2, b2)
+    got = ff.fused_ffn(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    g = jnp.ones((H,), jnp.float32)
+    out = ff.fused_ffn_ln_block(x, x * 0.1, g, b2, w1, b1, w2, b2, g, b2)
+    refb = ff._block_ref_chain(x, x * 0.1, g, b2, w1, b1, w2, b2, g, b2,
+                               act="gelu", eps=1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(refb),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_in_budget_ffn_still_uses_kernel(monkeypatch):
+    """The gate must not reroute shapes that fit (guard the fast path)."""
+    import stonkgs_tpu.ops.fused_ffn as ff
+
+    called = {}
+    real = ff._fused_ffn
+
+    def spy(*a):
+        called["yes"] = True
+        return real(*a)
+
+    monkeypatch.setattr(ff, "_fused_ffn", spy)
+    rng = np.random.default_rng(8)
+    args = _inputs(rng, M=32)
+    ff.fused_ffn(*args, block_m=16, interpret=True)
+    assert called.get("yes")
