@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,16 @@ class STonKGsEngine:
     artifacts: Optional[KGArtifacts] = None
     compute_dtype: str = "bfloat16"
     batch_size: int = 64
+    # Length-bucketed SPEED MODE (opt-in; None = exact-parity shapes).
+    # e.g. (64, 128): rows whose true text length fits a bucket run the
+    # frozen backbone at that length and the trunk at bucket+entity_len
+    # (entity half kept on its original position rows via position_ids).
+    # The trunk result is numerically identical to the full shape (masked
+    # PAD keys contribute exp(-1e9-m)=0 exactly in fp32); the only delta
+    # is the frozen backbone's attend-over-PAD quirk
+    # (``stonkgs_model.py:178``), which parity mode preserves at 256-wide
+    # padding — quantified in PERF.md / bench_bucketed_extract.py.
+    length_buckets: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         from stonkgs_tpu.ops.attention import default_infer_impl
@@ -55,6 +65,25 @@ class STonKGsEngine:
             partial(stonkgs.classification_logits, cfg=self.cfg,
                     compute_dtype=dtype, attention_impl=impl)
         )
+        self._bucket_poolers = {}
+        self._bucket_classifiers = {}
+        if self.length_buckets:
+            buckets = tuple(sorted(set(int(b) for b in self.length_buckets)))
+            if any(b <= 0 or b > self.cfg.text_len for b in buckets):
+                raise ValueError(
+                    f"length_buckets {buckets} must lie in "
+                    f"(0, text_len={self.cfg.text_len}]")
+            self.length_buckets = buckets
+            for b in buckets:
+                if b == self.cfg.text_len:
+                    continue  # full shape = the parity functions above
+                bcfg = self.cfg.replace(text_len=b)
+                self._bucket_poolers[b] = jax.jit(
+                    partial(stonkgs.pooler_output, cfg=bcfg,
+                            compute_dtype=dtype, attention_impl=impl))
+                self._bucket_classifiers[b] = jax.jit(
+                    partial(stonkgs.classification_logits, cfg=bcfg,
+                            compute_dtype=dtype, attention_impl=impl))
 
     # -- constructors -----------------------------------------------------
 
@@ -193,24 +222,111 @@ class STonKGsEngine:
 
         yield from iter_padded_batches(features, BATCH_KEYS, self.batch_size)
 
+    def _bucket_features(self, features: Dict[str, np.ndarray]):
+        """Partition rows by true text length into the compiled buckets.
+
+        Yields ``(bucket_len, row_indices, sub_features, position_ids)``
+        where sub_features carry the text half truncated to bucket_len and
+        position_ids keep the entity half on its original position rows
+        (``[0..b-1, text_len..text_len+entity_len-1]``).  Rows longer than
+        every bucket run at the full parity shape (bucket_len ==
+        cfg.text_len, position_ids None)."""
+        tl, el = self.cfg.text_len, self.cfg.entity_len
+        am = np.asarray(features["attention_mask"])
+        true_len = am[:, :tl].sum(axis=1)
+        buckets = list(self.length_buckets or ())
+        if not buckets or buckets[-1] < tl:
+            buckets.append(tl)
+        if 0 < len(am) <= self.batch_size:
+            # Latency-shaped request (one padded batch either way): splitting
+            # it across buckets costs a full dispatch+fetch round trip per
+            # bucket — measured 69.5 ms median / 195 ms p90 at B=8 vs 37.9
+            # parity (bench_serving_latency.py).  Run the WHOLE request at
+            # the smallest bucket that fits its longest row instead.
+            buckets = [b for b in buckets if true_len.max() <= b or b == tl]
+            taken = np.zeros(len(am), bool)
+            true_len = np.full(len(am), int(true_len.max()))
+        else:
+            taken = np.zeros(len(am), bool)
+        for b in buckets:
+            idx = np.nonzero(~taken & (true_len <= b))[0] if b < tl \
+                else np.nonzero(~taken)[0]
+            taken[idx] = True
+            if len(idx) == 0:
+                continue
+            if b == tl:
+                sub = {k: np.asarray(features[k])[idx]
+                       for k in BATCH_KEYS if k in features}
+                yield b, idx, sub, None
+                continue
+            sub = {}
+            for k in BATCH_KEYS:
+                if k in features:
+                    v = np.asarray(features[k])[idx]
+                    sub[k] = np.concatenate([v[:, :b], v[:, tl:]], axis=1)
+            pos = np.concatenate(
+                [np.arange(b), np.arange(tl, tl + el)]).astype(np.int32)
+            yield b, idx, sub, pos
+
+    def _dispatch(self, features: Dict[str, np.ndarray], fns, full_fn):
+        """Dispatch forwards (bucketed when configured) without syncing.
+
+        Returns ``(pending, n_rows)``; pending entries are
+        ``(device_array, n_valid, dest_row_indices)`` — device work is in
+        flight when this returns, so callers can overlap host work before
+        fetching."""
+        from stonkgs_tpu.utils.batching import iter_padded_batches
+
+        n = len(features["input_ids"])
+        pending = []
+        if not self.length_buckets:
+            off = 0
+            for piece, valid in self._batches(features):
+                out = full_fn(self.params, batch=piece)
+                pending.append((out, valid, np.arange(off, off + valid)))
+                off += valid
+            return pending, n
+        for b, idx, sub, pos in self._bucket_features(features):
+            fn = full_fn if pos is None else fns[b]
+            off = 0
+            for piece, valid in iter_padded_batches(
+                    sub, BATCH_KEYS, self.batch_size):
+                if pos is not None:
+                    piece = {**piece, "position_ids": jnp.asarray(pos[None])}
+                out = fn(self.params, batch=piece)
+                pending.append((out, valid, idx[off: off + valid]))
+                off += valid
+        return pending, n
+
+    @staticmethod
+    def _fetch(pending, n: int) -> np.ndarray:
+        """Assemble dispatched outputs back into original row order."""
+        if not pending:
+            return np.zeros((n, 0), np.float32)
+        width = pending[0][0].shape[-1]
+        out = np.zeros((n, width), np.float32)
+        for dev, valid, dest in pending:
+            out[dest] = np.asarray(dev[:valid], np.float32)
+        return out
+
     def embed(self, features: Dict[str, np.ndarray]) -> np.ndarray:
         """Pooled [CLS] embeddings, (N, hidden) float32.
 
-        Batched replacement for ``get_stonkgs_embeddings``'s per-row loop."""
-        from stonkgs_tpu.utils.batching import batched_apply
-
-        return batched_apply(
-            lambda chunk: self._pooler(self.params, batch=chunk),
-            features, BATCH_KEYS, self.batch_size)
+        Batched replacement for ``get_stonkgs_embeddings``'s per-row loop.
+        With ``length_buckets`` set, rows run at the smallest compiled
+        text-length bucket that fits them (speed mode; see the field doc)."""
+        if len(features["input_ids"]) == 0:
+            return np.zeros((0, self.cfg.bert.hidden_size), np.float32)
+        return self._fetch(*self._dispatch(
+            features, self._bucket_poolers, self._pooler))
 
     def logits(self, features: Dict[str, np.ndarray]) -> np.ndarray:
         """Classification logits, (N, num_labels) float32."""
         assert "classifier" in self.params, "no classification head loaded"
-        from stonkgs_tpu.utils.batching import batched_apply
-
-        return batched_apply(
-            lambda chunk: self._classify(self.params, batch=chunk),
-            features, BATCH_KEYS, self.batch_size)
+        if len(features["input_ids"]) == 0:
+            return np.zeros((0, self.cfg.num_labels or 0), np.float32)
+        return self._fetch(*self._dispatch(
+            features, self._bucket_classifiers, self._classify))
 
     def predict_proba(self, features: Dict[str, np.ndarray]) -> np.ndarray:
         """Softmax class probabilities over preprocessed features."""
@@ -234,7 +350,7 @@ class STonKGsEngine:
         import itertools
 
         rows = iter(rows)
-        pending = []  # dispatched device arrays awaiting fetch
+        pending = None  # (pending list, n_rows) awaiting fetch
 
         def dispatch(chunk):
             src, tgt, ev = zip(*chunk)
@@ -242,24 +358,15 @@ class STonKGsEngine:
                 np.asarray(src, object), np.asarray(tgt, object), list(ev),
                 apply_masking=apply_masking, seed=seed,
             )
-            outs = []
-            for piece, n_valid in self._batches(feats):
-                pooled = self._pooler(
-                    self.params,
-                    batch={k: jnp.asarray(v) for k, v in piece.items()},
-                )
-                outs.append((pooled, n_valid))
-            return outs
+            return self._dispatch(feats, self._bucket_poolers, self._pooler)
 
         while True:
             chunk = list(itertools.islice(rows, chunk_rows))
             if not chunk:
                 break
             dispatched = dispatch(chunk)   # device work is in flight
-            if pending:
-                yield np.concatenate(
-                    [np.asarray(p[:n], np.float32) for p, n in pending], 0)
+            if pending is not None:
+                yield self._fetch(*pending)
             pending = dispatched
-        if pending:
-            yield np.concatenate(
-                [np.asarray(p[:n], np.float32) for p, n in pending], 0)
+        if pending is not None:
+            yield self._fetch(*pending)

@@ -199,6 +199,7 @@ def trunk_forward(
     stop_backbone_gradients: bool = True,
     cls_only: bool = False,
     tp_mesh=None,
+    position_ids: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Backbones + trainable trunk. Returns (sequence_output, pooled_output).
 
@@ -208,7 +209,12 @@ def trunk_forward(
     entirely.
 
     ``cls_only``: compute the trunk's last layer only at the [CLS]
-    position (pooled-output paths; sequence output becomes (B, 1, H))."""
+    position (pooled-output paths; sequence output becomes (B, 1, H)).
+
+    ``position_ids`` apply to the TRUNK only (the backbone always embeds
+    its text at positions 0..text_len-1).  The length-bucketed extraction
+    mode passes ``[0..Sb-1, 256..511]`` here so a truncated text half
+    keeps the entity half on its original position rows."""
     if not deterministic and dropout_rng is not None:
         r_back, r_trunk = jax.random.split(dropout_rng)
     else:
@@ -226,6 +232,7 @@ def trunk_forward(
         inputs_embeds=inputs_embeds,
         attention_mask=attention_mask,
         token_type_ids=token_type_ids,
+        position_ids=position_ids,
         deterministic=deterministic, dropout_rng=r_trunk,
         compute_dtype=compute_dtype, precision=precision,
         attention_impl=attention_impl, remat=remat, with_pooler=True,
@@ -265,6 +272,8 @@ def pooler_output(params: dict, cfg: STonKGsConfig, batch: dict, **kw) -> Array:
     pooled output, one fewer full layer of compute).
     """
     kw.setdefault("cls_only", kw.get("deterministic", True))
+    if "position_ids" in batch:
+        kw.setdefault("position_ids", batch["position_ids"])
     _, pooled = trunk_forward(
         params, cfg,
         batch["input_ids"], batch.get("attention_mask"),
@@ -374,6 +383,8 @@ def classification_logits(
     else:
         r_trunk = r_cls = None
     kw.setdefault("cls_only", deterministic)  # eval: skip last-layer rows
+    if "position_ids" in batch:
+        kw.setdefault("position_ids", batch["position_ids"])
     _, pooled = trunk_forward(
         params, cfg,
         batch["input_ids"], batch.get("attention_mask"),

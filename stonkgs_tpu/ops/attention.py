@@ -103,15 +103,17 @@ def dot_product_attention(
         if deterministic:
             # no dropout and no VJP needed: the bf16-MXU inference kernel
             # (the train kernel upcasts to fp32 and pays quarter-rate MXU).
-            # It holds ALL heads' K/V per program, so its VMEM working set
-            # grows with H*S — past ~14 MB (e.g. ProtBERT H=16 S=3072)
-            # compilation fails; fall back to the per-head train kernel.
+            # It holds ALL heads' K/V per program, so its scoped-VMEM
+            # working set grows with H*S*itemsize — past the measured
+            # 16 MB budget (e.g. ProtBERT H=16 S=3072, or fp32 compute at
+            # trunk shapes) compilation fails; fall back to the per-head
+            # train kernel, which compiles at all shapes in use.
             from stonkgs_tpu.ops.flash_attention import (
                 flash_attention_infer,
                 infer_kernel_fits,
             )
             _, S, H, D = q.shape
-            if infer_kernel_fits(S, H, D):
+            if infer_kernel_fits(S, H, D, itemsize=q.dtype.itemsize):
                 return flash_attention_infer(q, k, v, bias=bias)
         from stonkgs_tpu.ops.flash_attention import flash_attention_train
         return flash_attention_train(

@@ -396,12 +396,32 @@ def infer_kernel_fits(S: int, H: int, D: int, *, block_q: int = 512,
     (H=16, S=3072) it is ~56 MB — past the 16 MB scoped-VMEM limit, where
     compilation FAILS (measured round 4: the S>=384 auto-selection broke
     the ProtSTonKGs forward until this gate).  Callers must fall back to
-    :func:`flash_attention_train`'s per-head grid for larger shapes."""
+    :func:`flash_attention_train`'s per-head grid for larger shapes.
+
+    Round-5 recalibration (exposed by the fp32 numerics pass of
+    ``bench_bucketed_extract``): Mosaic multi-buffers the pipelined blocks
+    up to FOUR deep at realistic grid sizes — fp32 H=12 S=512 bq=512 fails
+    with a scoped allocation of exactly 24.00M = 4 x the k+v+q+out block
+    bytes against the 16.00M scoped limit (the deep buffering kicks in at
+    grid dim0 >= 32; bf16 at the same shape, 12M of blocks, compiles at
+    any batch).  The model now charges 4x ONE buffer set plus the fp32
+    score/probability body temporaries against the measured 16 MB budget.
+    Measured calibration points:
+
+    * bf16 H=12 S=512 bq=512 — model 14.6M — PASS (production trunk path)
+    * bf16 H=12 S=384 bq=384 — model 10.9M — PASS (bucketed trunk)
+    * fp32 H=12 S=512 bq=128 — model 15.75M — PASS
+    * fp32 H=12 S=512 bq=256 — model 18.75M — FAIL
+    * fp32 H=12 S=384 bq=384 — model 19.7M — FAIL
+    * bf16 H=16 S=3072 — model ~75M — FAIL (the round-4 ProtBERT case)
+
+    The per-head train-kernel fallback is measured to compile at fp32
+    B=64 S=512, so rejecting here is always safe."""
     bq = min(block_q, S)
-    kv = 2 * 2 * H * S * D * itemsize          # k+v, double-buffered
-    qo = 2 * 2 * H * bq * D * itemsize         # q+out, double-buffered
-    scores = 2 * bq * S * 4 + bq * S * itemsize  # s, p fp32 + bf16 cast
-    return kv + qo + scores <= 14 * 1024 * 1024  # headroom under 16 MB
+    kv = 2 * H * S * D * itemsize              # k+v, one buffer set
+    qo = 2 * H * bq * D * itemsize             # q+out, one buffer set
+    scores = 2 * bq * S * 4 + bq * S * itemsize  # s, p fp32 + input cast
+    return 4 * (kv + qo) + scores <= 16 * 1024 * 1024
 
 
 def flash_attention_infer(

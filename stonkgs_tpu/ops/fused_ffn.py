@@ -81,6 +81,19 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act: str):
 # pass/fail shapes with margin on both sides.
 _FFN_VMEM_BUDGET = 48 * 1024 * 1024
 
+# Mosaic also enforces a SEPARATE ~16 MB scoped-VMEM limit that fp32 inputs
+# blow at every viable row block (measured on v5e, round 5, exposed by the
+# fp32 numerics pass of bench_bucketed_extract): the LN-block kernel at
+# (768→3072) fails with "Scoped allocation with size 20.73M / limit 16.00M"
+# at bm=512 AND "16.25M / 16.00M" at bm=256 — while bf16 at the same shapes
+# compiles.  A bm-scaled stack model mispredicted the bm=256 point by 5 MB
+# (fp32 doubles both the kernel-body temporaries and the pipelined block
+# buffers at once), so rather than carry an unreliable model for a path
+# that buys nothing, the gate is categorical: the fused kernels are
+# bf16-path optimizations; fp32 compute always takes the unfused
+# identical-numerics XLA chain (fp32 runs exist only for numerics
+# validation, where the fusion's HBM savings are irrelevant).
+
 
 def ffn_kernel_fits(block_m: int, H: int, I: int, *, itemsize: int = 2,
                     with_ln_block: bool = False) -> bool:
@@ -89,8 +102,13 @@ def ffn_kernel_fits(block_m: int, H: int, I: int, *, itemsize: int = 2,
     Counts: both weight matrices (constant-index blocks, single-buffered —
     fetched once and resident), the varying input/output row blocks
     (double-buffered by the Mosaic pipeline; the LN-block variant reads an
-    extra attn_out input), the fp32 (bm, I) intermediate plus its bf16
-    cast, and the fp32 (bm, H) pre-cast output."""
+    extra attn_out input), the fp32 (bm, I) intermediate plus its cast,
+    and the fp32 (bm, H) pre-cast output — against the 48 MB budget
+    calibrated on measured bf16 pass/fail shapes above.  Itemsize > 2 is
+    rejected outright (measured scoped-VMEM failures at every viable row
+    block; see the round-5 note above)."""
+    if itemsize > 2:
+        return False
     weights = 2 * H * I * itemsize
     n_io = 3 if with_ln_block else 2
     io = 2 * n_io * block_m * H * itemsize
@@ -206,13 +224,20 @@ def fused_ffn(
 
     Gated by the kernel's VMEM working set (:func:`ffn_kernel_fits`):
     shapes whose weights + row blocks + fp32 intermediate exceed scoped
-    VMEM run the unfused XLA path instead of failing Mosaic compilation."""
+    VMEM run the unfused XLA path instead of failing Mosaic compilation.
+    The gate only applies to real Mosaic compiles — interpret mode (CPU
+    tests) emulates the kernel without VMEM limits and honors any block."""
     H, I = w1.shape[-2], w1.shape[-1]
     M = 1
     for d in x.shape[:-1]:
         M *= d
-    bm = _pick_block_m(block_m, max(M, 1), H, I,
-                       itemsize=x.dtype.itemsize, with_ln_block=False)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    if interpret:
+        bm = min(block_m, max(M, 1))
+    else:
+        bm = _pick_block_m(block_m, max(M, 1), H, I,
+                           itemsize=x.dtype.itemsize, with_ln_block=False)
     if bm is None:
         return _ffn_reference(x, w1, b1, w2, b2, act=act)
     return _fused_ffn(x, w1, b1, w2, b2, act, bm, interpret)
@@ -364,8 +389,12 @@ def fused_ffn_ln_block(
     M = 1
     for d in x.shape[:-1]:
         M *= d
-    bm = _pick_block_m(block_m, max(M, 1), H, I,
-                       itemsize=x.dtype.itemsize, with_ln_block=True)
+    if interpret:
+        # interpret mode (CPU tests) has no Mosaic VMEM limits
+        bm = min(block_m, max(M, 1))
+    else:
+        bm = _pick_block_m(block_m, max(M, 1), H, I,
+                           itemsize=x.dtype.itemsize, with_ln_block=True)
     if bm is None:
         # working set exceeds scoped VMEM at every viable row block —
         # run the identical-numerics unfused chain instead of failing

@@ -308,12 +308,28 @@ def test_infer_kernel_vmem_gate():
     tests cannot catch this)."""
     from stonkgs_tpu.ops.flash_attention import infer_kernel_fits
 
-    # STonKGs trunk: 12 heads, 512 tokens, D=64 -> ~4 MB, fits
+    # STonKGs trunk: 12 heads, 512 tokens, D=64 -> ~14.6 MB, fits
     assert infer_kernel_fits(512, 12, 64)
-    # ProtBERT backbone: 16 heads, 3072 tokens -> ~56 MB, must NOT fit
+    # bucketed trunk shape (text bucket 128 + 256 entities)
+    assert infer_kernel_fits(384, 12, 64)
+    # ProtBERT backbone: 16 heads, 3072 tokens -> ~75 MB, must NOT fit
     assert not infer_kernel_fits(3072, 16, 64)
     # BigBird-size full attention (12 heads, 4096) also must not fit
     assert not infer_kernel_fits(4096, 12, 64)
+
+
+def test_infer_kernel_vmem_gate_fp32_stack_points():
+    """Round-5 regression: Mosaic multi-buffers the pipelined blocks 4-deep
+    at realistic grids, so fp32 compute blows the 16 MB scoped limit at
+    trunk shapes that pass at bf16 (measured on v5e: fp32 H=12 S=512
+    bq=512 fails with a 24.00M scoped allocation = exactly 4x its block
+    bytes; S=384 and bq=256 fail too; bq=128 compiles)."""
+    from stonkgs_tpu.ops.flash_attention import infer_kernel_fits
+
+    assert not infer_kernel_fits(512, 12, 64, itemsize=4)
+    assert not infer_kernel_fits(512, 12, 64, block_q=256, itemsize=4)
+    assert not infer_kernel_fits(384, 12, 64, itemsize=4)
+    assert infer_kernel_fits(512, 12, 64, block_q=128, itemsize=4)
 
 
 def test_deterministic_flash_falls_back_past_vmem_gate(monkeypatch):

@@ -211,11 +211,31 @@ def test_vmem_gate_calibration_points():
     assert not ffn_kernel_fits(128, 2048, 8192)       # weights alone exceed
 
 
+def test_vmem_gate_rejects_fp32_outright():
+    """Round-5 regression: fp32 inputs blow Mosaic's ~16 MB scoped-VMEM
+    limit at EVERY viable row block (measured on v5e: LN-block 768->3072
+    fp32 fails with 20.73M at bm=512 and 16.25M at bm=256, vs the 16.00M
+    limit; bf16 at the same shapes compiles).  The gate is categorical:
+    itemsize > 2 never uses the fused kernels — fp32 numerics runs take
+    the identical-math unfused chain via the _pick_block_m=None fallback."""
+    from stonkgs_tpu.ops.fused_ffn import _pick_block_m, ffn_kernel_fits
+
+    for bm in (512, 256, 128):
+        assert not ffn_kernel_fits(bm, 768, 3072, itemsize=4,
+                                   with_ln_block=True)
+        assert not ffn_kernel_fits(bm, 768, 3072, itemsize=4)
+    assert _pick_block_m(512, 16384, 768, 3072, itemsize=4,
+                         with_ln_block=True) is None
+    # the measured-good bf16 shape keeps its 512-row block
+    assert _pick_block_m(512, 16384, 768, 3072, itemsize=2,
+                         with_ln_block=True) == 512
+
+
 def test_pick_block_m_honors_request_then_shrinks():
     from stonkgs_tpu.ops.fused_ffn import _pick_block_m
 
     # small explicit blocks (unit tests, serving) pass through untouched
-    assert _pick_block_m(16, 24, 32, 64, itemsize=4,
+    assert _pick_block_m(16, 24, 32, 64, itemsize=2,
                          with_ln_block=False) == 16
     # BERT-base shape keeps the requested 512 rows
     assert _pick_block_m(512, 65536, 768, 3072, itemsize=2,
@@ -231,7 +251,10 @@ def test_pick_block_m_honors_request_then_shrinks():
 
 
 def test_oversized_ffn_falls_back_not_compile(monkeypatch):
-    """An over-VMEM config must run the unfused path, never the kernel."""
+    """An over-VMEM config must run the unfused path, never the kernel.
+
+    interpret=False so the Mosaic gate is consulted like on a real chip
+    (interpret mode has no VMEM limits and honors any block)."""
     import stonkgs_tpu.ops.fused_ffn as ff
 
     def boom(*a, **k):
@@ -248,12 +271,13 @@ def test_oversized_ffn_falls_back_not_compile(monkeypatch):
     w2 = jnp.asarray(rng.standard_normal((I, H)) * 0.02, jnp.float32)
     b2 = jnp.zeros((H,), jnp.float32)
     ref = ff._ffn_reference(x, w1, b1, w2, b2)
-    got = ff.fused_ffn(x, w1, b1, w2, b2)
+    got = ff.fused_ffn(x, w1, b1, w2, b2, interpret=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
     g = jnp.ones((H,), jnp.float32)
-    out = ff.fused_ffn_ln_block(x, x * 0.1, g, b2, w1, b1, w2, b2, g, b2)
+    out = ff.fused_ffn_ln_block(x, x * 0.1, g, b2, w1, b1, w2, b2, g, b2,
+                                interpret=False)
     refb = ff._block_ref_chain(x, x * 0.1, g, b2, w1, b1, w2, b2, g, b2,
                                act="gelu", eps=1e-12)
     np.testing.assert_allclose(np.asarray(out), np.asarray(refb),
