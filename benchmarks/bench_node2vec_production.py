@@ -47,7 +47,7 @@ def synthetic_edgelist(n_nodes: int, n_edges: int, seed: int = 0):
 
 def main(n_nodes: int, n_edges: int, outdir: str,
          walk_length: int = 127, epochs: int = 4, dim: int = 768,
-         batch_pairs: int = 16384) -> None:
+         batch_pairs: int = 16384, device_pipeline: bool = False) -> None:
     from stonkgs_tpu.data.walker import CSRGraph, random_walks
     from stonkgs_tpu.models.node2vec import (
         save_embeddings_tsv, save_walks_tsv)
@@ -75,10 +75,14 @@ def main(n_nodes: int, n_edges: int, outdir: str,
     t0 = time.perf_counter()
     result = train_word2vec(
         walks, graph.n_nodes, dim=dim, window=3, negative=5, iterations=1,
-        seed=0, index_to_name=graph.names, batch_pairs=batch_pairs,
+        seed=0, index_to_name=graph.names,
+        batch_pairs=None if device_pipeline else batch_pairs,
+        device_pipeline=device_pipeline,
     )
     t_sgns = time.perf_counter() - t0
-    emit("node2vec SGNS training (JAX, dim 768, window 3, neg 5, 1 iter)",
+    pipe = "device-resident" if device_pipeline else "host pair feed"
+    emit(f"node2vec SGNS training (JAX, dim {dim}, window 3, neg 5, "
+         f"1 iter, {pipe})",
          t_sgns / 60, "minutes", wall_s=round(t_sgns, 1),
          corpus_tokens=int(steps))
 
@@ -107,13 +111,16 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--batch-pairs", type=int, default=16384)
+    ap.add_argument("--device-pipeline", action="store_true",
+                    help="fully on-device SGNS (round-5; removes the "
+                         "input-bound Python pair feed)")
     ap.add_argument("--outdir", default=None)
     a = ap.parse_args()
     if a.outdir:
         os.makedirs(a.outdir, exist_ok=True)
         main(a.nodes, a.edges, a.outdir, a.walk_length, a.epochs, a.dim,
-             a.batch_pairs)
+             a.batch_pairs, a.device_pipeline)
     else:
         with tempfile.TemporaryDirectory(prefix="stonkgs_n2v_") as d:
             main(a.nodes, a.edges, d, a.walk_length, a.epochs, a.dim,
-                 a.batch_pairs)
+                 a.batch_pairs, a.device_pipeline)

@@ -128,6 +128,8 @@ def finetune_all(input_dir, **kw):
 @click.option("--embeddings_output_path", default=None, type=str)
 @click.option("--random_walks_output_path", default=None, type=str)
 @click.option("--output_dir", default=".", type=str)
+@click.option("--device_pipeline", is_flag=True, default=False,
+              help="fully on-device SGNS stage (no host pair feed)")
 def node2vec(**kw):
     """Train node2vec KG embeddings (reference node2vec.py CLI)."""
     from stonkgs_tpu.models.node2vec import run_node2vec

@@ -66,8 +66,13 @@ def run_node2vec(
     embeddings_output_path: Optional[str] = None,
     random_walks_output_path: Optional[str] = None,
     output_dir: str = ".",
+    device_pipeline: bool = False,
 ) -> Tuple[Word2VecResult, np.ndarray, CSRGraph]:
-    """Production node2vec run (reference defaults)."""
+    """Production node2vec run (reference defaults).
+
+    ``device_pipeline=True`` keeps the SGNS stage fully on-device
+    (round-5: removes the measured input-bound Python pair feed; see
+    ``stonkgs_tpu.models.word2vec`` and PERF.md)."""
     import pandas as pd
 
     if triples_df is None:
@@ -88,6 +93,7 @@ def run_node2vec(
         dim=dimensions, window=window_size, negative=negative,
         iterations=iterations, seed=seed,
         index_to_name=graph.names,
+        device_pipeline=device_pipeline,
     )
     logger.info("%d embeddings were learned", len(result.index_to_word))
 
