@@ -107,6 +107,26 @@ def measure(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000,
 
     pairs_per_sec = B / dt
 
+    # round-5 speed mode: the same engine the serving path uses, rows
+    # bucketed by true text length over a realistic evidence-length corpus
+    # (numerics: cosine >= 0.999999 vs parity — PERF.md round-5 section)
+    bucketed_pairs_per_sec = None
+    try:
+        from bench_bucketed_extract import corpus_features
+        from stonkgs_tpu.api.inference import STonKGsEngine
+
+        feats, _ = corpus_features(cfg, 2048)
+        eng = STonKGsEngine(cfg=cfg, params=params,
+                            compute_dtype="bfloat16", batch_size=B,
+                            length_buckets=(64, 128))
+        out = eng.embed(feats)              # compile + warmup
+        assert np.isfinite(out).all()
+        t0 = time.perf_counter()
+        out = eng.embed(feats)
+        bucketed_pairs_per_sec = len(out) / (time.perf_counter() - t0)
+    except Exception as e:  # speed mode must never sink the parity metric
+        print(f"# bucketed measurement skipped: {e}", file=sys.stderr)
+
     pretrain_eps = None
     if pretrain:
         from stonkgs_tpu.train.optimizer import make_optimizer
@@ -149,6 +169,10 @@ def measure(batch_size: int = 128, steps: int = 20, kg_vocab: int = 100_000,
         "vs_per_shape_floor": round(pairs_per_sec / PER_SHAPE_FLOOR_PAIRS, 3),
         "single_batch_latency_ms": round(latency_ms, 1),
     }
+    if bucketed_pairs_per_sec is not None:
+        line["bucketed_pairs_per_sec"] = round(bucketed_pairs_per_sec, 1)
+        line["bucketed_speedup"] = round(
+            bucketed_pairs_per_sec / pairs_per_sec, 2)
     if pretrain_eps is not None:
         line["pretrain_examples_per_sec"] = round(pretrain_eps, 1)
         line["pretrain_mfu_pct_of_spec"] = round(

@@ -209,11 +209,11 @@ def _build_alias(probs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     large = [i for i in range(V) if scaled[i] >= 1.0]
     while small and large:
         s = small.pop()
-        l = large.pop()
+        big = large.pop()
         thresh[s] = scaled[s]
-        alias[s] = l
-        scaled[l] = (scaled[l] + scaled[s]) - 1.0
-        (small if scaled[l] < 1.0 else large).append(l)
+        alias[s] = big
+        scaled[big] = (scaled[big] + scaled[s]) - 1.0
+        (small if scaled[big] < 1.0 else large).append(big)
     return alias, thresh
 
 
