@@ -113,7 +113,7 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--kg-vocab", type=int, default=100_000)
     ap.add_argument("--remat", default="full",
-                    choices=["none", "full", "attention"],
+                    choices=["none", "full", "attention", "unroll"],
                     help="rematerialization mode for the trunk")
     ap.add_argument("--attention", default="xla", choices=["xla", "flash"],
                     help="attention impl (flash = Pallas custom-VJP kernel)")

@@ -190,6 +190,18 @@ def main(batch_size: int = 32, steps: int = 20, kg_vocab: int = 100_000,
     emit(f"train accounting: FULL STEP (B={B}, flash, remat=none)",
          full_ms, "ms", examples_per_sec=round(B / dt, 1))
 
+    # --- the same step with the unrolled trunk (remat="unroll", the new
+    # TPU auto): the layer loop becomes 12 static programs, so the scan's
+    # stacked-param dynamic slices and dynamic-update-slice gradient
+    # accumulation vanish
+    state_u = init_train_state(params, tx)
+    step_u = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
+                             remat="unroll", attention_impl="flash",
+                             donate=False)
+    state_u, dt_u = timed_train_steps(step_u, state_u, batch, steps=steps)
+    emit(f"train accounting: FULL STEP (B={B}, flash, remat=unroll)",
+         dt_u * 1e3, "ms", examples_per_sec=round(B / dt_u, 1))
+
     total = sum(ms for _, ms, _ in rows)
     emit("train accounting: component sum vs full step",
          round(total, 1), "ms",

@@ -392,9 +392,40 @@ def encode(
     """
     attn_bias = attention_bias_from_mask(attention_mask, jnp.float32)
     mode = "full" if remat is True else (remat or "none")
-    assert mode in ("none", "full", "attention"), mode
+    assert mode in ("none", "full", "attention", "unroll"), mode
     if cls_only:
         assert deterministic, "cls_only is an inference-path optimization"
+
+    if mode == "unroll":
+        # Python-unrolled layer loop: identical math and rng stream to
+        # the scan below, but XLA sees the layers as static programs.
+        # Opt-in only: measured same-session at the full pre-training
+        # step (v5e, B=32, S=512, flash VJP + fused-FFN VJP) it is NOT
+        # faster than the scan — 181.0 ex/s vs 185.5 (remat=none) — and
+        # compiles ~3x slower, because the backward still materializes
+        # per-layer grads into the stacked (L, ...) buffers (one scatter
+        # per layer ~= the scan's dynamic-update-slice accumulation).
+        # Kept as a measurement mode; see PERF.md round-5 accounting.
+        stacked = params["encoder"]
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+        rng = dropout_rng if not deterministic else None
+        x_cur = hidden
+        for i in range(n_layers - 1 if cls_only else n_layers):
+            lp_i = jax.tree.map(lambda t: t[i], stacked)
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            x_cur = encoder_layer(
+                x_cur, lp_i, cfg, attn_bias,
+                deterministic=deterministic, dropout_rng=sub,
+                precision=precision, attention_impl=attention_impl,
+            )
+        if cls_only:
+            last = jax.tree.map(lambda t: t[-1], stacked)
+            return encoder_layer_cls(x_cur, last, cfg, attn_bias,
+                                     precision=precision)
+        return x_cur
 
     def body(carry, layer_in):
         x, rng = carry

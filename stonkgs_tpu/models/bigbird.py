@@ -306,9 +306,10 @@ def bigbird_model(
         return (layer(x, lp, la_rand, sub), rng), None
 
     # remat="attention" -> selective (attention-only) checkpoint, applied
-    # inside ``layer``; any other truthy value -> conservative full-layer
-    # checkpoint
-    if remat and remat != "attention":
+    # inside ``layer``; remat="unroll" is a BERT-trunk mode (see
+    # bert.encode) and means no-remat here; any other truthy value ->
+    # conservative full-layer checkpoint
+    if remat and remat not in ("attention", "unroll"):
         body = jax.checkpoint(body)
     rng0 = dropout_rng if not deterministic else None
     if cls_only:

@@ -96,7 +96,11 @@ def resolve_train_impl(remat="auto", attention_impl="auto",
     if remat in (None, "auto", True):
         # flash VJP + fused-FFN VJP leave no S²/FFN buffers to shed, so
         # remat would only add recompute (182.4 none vs 179.9 attention
-        # ex/s at B=32); non-TPU paths keep the conservative full remat
+        # ex/s at B=32).  remat="unroll" (static Python layer loop) was
+        # measured same-session at the full step and is NOT faster —
+        # 181.0 ex/s vs 185.5 none at B=32, with ~3x the compile time —
+        # so auto stays none; see PERF.md round-5 trunk accounting.
+        # Non-TPU paths keep the conservative full remat.
         remat = False if (is_flash and on_tpu) else "full"
     if remat == "none":
         remat = False

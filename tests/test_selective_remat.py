@@ -39,7 +39,7 @@ def _batch(rng, B=4):
     }
 
 
-@pytest.mark.parametrize("mode", ["full", "attention"])
+@pytest.mark.parametrize("mode", ["full", "attention", "unroll"])
 def test_remat_mode_matches_no_remat(mode):
     params = fast_init(
         lambda: stonkgs.init_stonkgs_params(jax.random.PRNGKey(0), CFG))
@@ -56,6 +56,51 @@ def test_remat_mode_matches_no_remat(mode):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_unroll_matches_scan_with_dropout():
+    """remat="unroll" claims an RNG stream identical to the lax.scan path
+    (bert.encode docstring) — verify under live dropout: same dropout_rng
+    must give bit-identical loss and gradients in both modes."""
+    params = fast_init(
+        lambda: stonkgs.init_stonkgs_params(jax.random.PRNGKey(0), CFG))
+    batch = _batch(np.random.default_rng(1))
+    drng = jax.random.PRNGKey(7)
+
+    def loss(params, remat):
+        l, _ = stonkgs.pretraining_loss(
+            params, CFG, batch, remat=remat, deterministic=False,
+            dropout_rng=drng)
+        return l
+
+    l0, g0 = jax.value_and_grad(loss)(params, False)
+    l1, g1 = jax.value_and_grad(loss)(params, "unroll")
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_unroll_cls_only_matches_scan():
+    """The unroll mode's cls_only tail (last layer at the [CLS] query
+    only) must equal the scan path's."""
+    from stonkgs_tpu.models import bert
+
+    params = fast_init(
+        lambda: stonkgs.init_stonkgs_params(jax.random.PRNGKey(0), CFG))
+    bc = CFG.bert
+    rng = np.random.default_rng(3)
+    B, S = 4, CFG.seq_len
+    hidden = jnp.asarray(rng.normal(size=(B, S, bc.hidden_size)),
+                         jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32)
+    out_scan = bert.encode(params["trunk"], bc, hidden, mask,
+                           cls_only=True, remat=False)
+    out_unroll = bert.encode(params["trunk"], bc, hidden, mask,
+                             cls_only=True, remat="unroll")
+    np.testing.assert_allclose(np.asarray(out_scan),
+                               np.asarray(out_unroll),
+                               atol=1e-6, rtol=1e-5)
 
 
 def test_bigbird_remat_attention_matches_no_remat():
