@@ -92,9 +92,19 @@ def main(M: int = 16384, H: int = 768, I: int = 3072, steps: int = 30):
     g = jax.random.normal(jax.random.PRNGKey(7), (M, H), jnp.bfloat16)
     gemm_fb = jax.jit(gemm_floor7)
 
+    # production path: Pallas fwd kernel + Pallas bwd kernel (recompute +
+    # all five backward GEMMs in one call, (M, I) chains never in HBM)
+    ff.BWD_IMPL = "auto"
     dt = timed_op(fused_fb, (x, w1, b1, w2, b2), steps=steps)
-    emit("ffn fwd+bwd: recompute VJP (production)", dt * 1e3, "ms",
+    emit("ffn fwd+bwd: Pallas bwd kernel (production)", dt * 1e3, "ms",
          tflops=round(tflops(dt, 7), 1))
+    ff.BWD_IMPL = "xla"
+    dt = timed_op(jax.jit(lambda *a: gradsum(jax.grad(
+        loss_fused, argnums=(0, 1, 2, 3, 4))(*a))[None]),
+        (x, w1, b1, w2, b2), steps=steps)
+    emit("ffn fwd+bwd: XLA recompute VJP (round-4 production)", dt * 1e3,
+         "ms", tflops=round(tflops(dt, 7), 1))
+    ff.BWD_IMPL = "auto"
     dt = timed_op(xla_fb, (x, w1, b1, w2, b2), steps=steps)
     emit("ffn fwd+bwd: stored-h XLA VJP", dt * 1e3, "ms",
          tflops=round(tflops(dt, 6), 1))

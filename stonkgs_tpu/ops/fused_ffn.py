@@ -188,6 +188,167 @@ def _ffn_reference(x, w1, b1, w2, b2, act: str = "gelu"):
     return y.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused backward kernel: recompute + all five backward GEMMs, one HBM pass
+# ---------------------------------------------------------------------------
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+# How the backward chooses its implementation ("auto" | "kernel" | "xla").
+# "auto" = the Pallas kernel on real TPU when the working set fits, the XLA
+# recompute chain otherwise (and always under interpret/CPU, where the
+# kernel emulation is slow); tests override to "kernel" to exercise the
+# kernel's numerics in interpret mode.
+BWD_IMPL = "auto"
+
+
+def _ffn_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref,
+                    dx_ref, dh_ref, a_ref, *, act: str):
+    """One row-block of the FFN backward's activation side.
+
+    Recomputes h = x@w1 + b1 and a = gelu(h) from the saved input (the
+    fp32 (bm, I) chains live only in VMEM — same recompute contract as
+    the XLA ``_fused_ffn_bwd`` chain it replaces), applies the dgelu on
+    the g@W2ᵀ GEMM's output in-register, and emits dx plus the two bf16
+    dW GEMM operands (dh, a).  The dW GEMMs and db sums run in XLA on
+    the emitted operands: Mosaic allocates
+    constant-index output accumulators on the ~16 MB scoped-VMEM stack,
+    and two full (H, I) fp32 accumulators are 18.87 MB — measured on v5e
+    as an immovable 18.01 MiB scoped failure at ANY row block or dot
+    chunking, so in-kernel dW accumulation is impossible at BERT shapes."""
+    f32 = jnp.float32
+    x = x_ref[...]                                     # (bm, H) input dtype
+    g = g_ref[...]                                     # (bm, H) cotangent
+    h = jax.lax.dot_general(                           # recompute, fp32
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b1_ref[...].astype(f32)
+    if act == "gelu":
+        e = _erf(h * _INV_SQRT2)
+        a = 0.5 * h * (1.0 + e)
+        dact = 0.5 * (1.0 + e) + h * _INV_SQRT_2PI * jnp.exp(-0.5 * h * h)
+    else:
+        assert act == "gelu_new", act
+        c = (2.0 / jnp.pi) ** 0.5
+        u = jnp.tanh(c * (h + 0.044715 * h * h * h))
+        a = 0.5 * h * (1.0 + u)
+        dact = (0.5 * (1.0 + u)
+                + 0.5 * h * (1.0 - u * u) * c * (1.0 + 3 * 0.044715 * h * h))
+    a_ref[...] = a.astype(a_ref.dtype)
+    # dh = (g @ W2ᵀ) ⊙ gelu'(h) — the dgelu rides the GEMM, in VMEM
+    dh32 = jax.lax.dot_general(
+        g, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32) * dact
+    dh = dh32.astype(dh_ref.dtype)  # the unfused chain's bf16 einsum cotangent
+    dh_ref[...] = dh
+    dx = jax.lax.dot_general(
+        dh, w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+_MOSAIC_SCOPED_VMEM = 16 * 1024 * 1024
+
+
+def ffn_bwd_kernel_fits(block_m: int, H: int, I: int, *,
+                        itemsize: int = 2) -> bool:
+    """Whether the backward kernel's working set fits Mosaic's limits.
+
+    Two budgets, same model as ``infer_kernel_fits``/``ffn_kernel_fits``:
+    the ~16 MB scoped-VMEM limit is charged 4× the pipelined row blocks
+    (x, g, dx — Mosaic multi-buffers 4-deep at realistic grids) plus the
+    (bm, I) kernel-body temporaries; the 48 MB total budget additionally
+    holds the resident weights and the fp32 dW accumulators.  fp32 inputs
+    are rejected outright like the forward kernels (bf16-path
+    optimization; see the round-5 note above).
+
+    Pipelined blocks: x, g, dx (bm, H) plus the emitted dh, a (bm, I);
+    body temporaries are the fp32
+    elementwise chains (charged 12 bytes per (bm, I) element: fp32
+    h/dh32 + their bf16 casts; the rest fuses into the dots — calibrated
+    against the measured 18.01 MiB accumulator failure, see the kernel
+    docstring)."""
+    if itemsize > 2:
+        return False
+    pipelined = 4 * (3 * block_m * H * itemsize
+                     + 2 * block_m * I * itemsize)
+    temps = block_m * I * 12
+    if pipelined + temps > _MOSAIC_SCOPED_VMEM:
+        return False
+    resident = 2 * H * I * itemsize + (H + I) * 4
+    return pipelined + temps + resident <= _FFN_VMEM_BUDGET
+
+
+def _pick_bwd_block_m(M: int, H: int, I: int, *, itemsize: int,
+                      block_m: int = 512):
+    bm = min(block_m, M)
+    while bm >= 128:
+        if ffn_bwd_kernel_fits(bm, H, I, itemsize=itemsize):
+            return bm
+        bm //= 2
+    return None
+
+
+def _ffn_bwd_call(x, w1, b1, w2, b2, g, act: str, bm: int, interpret: bool):
+    orig_shape = x.shape
+    H = orig_shape[-1]
+    I = w1.shape[-1]
+    x2 = x.reshape(-1, H)
+    g2 = g.reshape(-1, H).astype(x.dtype)
+    M = x2.shape[0]
+    bm = min(bm, M)
+    M_pad = -(-M // bm) * bm
+    if M_pad != M:
+        # zero rows are exact no-ops for every gradient: g=0 zeroes the
+        # dW2/db2/dh chain and x=0 zeroes dW1; padded dx rows are sliced off
+        x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
+        g2 = jnp.pad(g2, ((0, M_pad - M), (0, 0)))
+    n_blocks = M_pad // bm
+    row = lambda i: (i, 0)          # noqa: E731
+    const2 = lambda i: (0, 0)       # noqa: E731
+    const1 = lambda i: (0,)         # noqa: E731
+    f32 = jnp.float32
+    dx, dh, a = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel, act=act),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((bm, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, I), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((I,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, H), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, I), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, I), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M_pad, H), x.dtype),
+            jax.ShapeDtypeStruct((M_pad, I), x.dtype),
+            jax.ShapeDtypeStruct((M_pad, I), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * M_pad * H * I,                   # 3 in-kernel GEMMs
+            bytes_accessed=(3 * M_pad * H + 2 * M_pad * I + 2 * H * I)
+            * x.dtype.itemsize,
+            transcendentals=2 * M_pad * I,
+        ),
+        interpret=interpret,
+    )(x2, g2, w1.astype(x.dtype), b1, w2.astype(x.dtype))
+    # the two dW GEMMs run in XLA on the kernel-emitted bf16 operands —
+    # in-kernel (H, I) fp32 accumulators cannot fit scoped VMEM (docstring)
+    dw1 = jax.lax.dot_general(x2, dh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    dw2 = jax.lax.dot_general(a, g2, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db1 = jnp.sum(dh.astype(f32), axis=0)
+    db2 = jnp.sum(g2.astype(f32), axis=0)
+    return (dx[:M].reshape(orig_shape),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _fused_ffn(x, w1, b1, w2, b2, act, block_m, interpret):
     return _ffn_call(x, w1, b1, w2, b2, act, block_m, interpret)
@@ -199,9 +360,33 @@ def _fused_ffn_fwd(x, w1, b1, w2, b2, act, block_m, interpret):
 
 
 def _fused_ffn_bwd(act, block_m, interpret, res, g):
-    # backward recomputes the unfused forward under jax.vjp: the
-    # bf16[L, B, S, 4H] intermediates exist in NEITHER direction — this is
-    # what lets attention-remat training drop its dominant HBM buffers
+    # Recompute backward: the bf16[L, B, S, 4H] intermediates exist in
+    # NEITHER direction — this is what lets attention-remat training drop
+    # its dominant HBM buffers.  On real TPU the recompute + all five
+    # backward GEMMs run as ONE Pallas kernel (the (M, I) chains never
+    # reach HBM); the unfused XLA chain is the fallback and the
+    # interpret/CPU path.
+    x, w1, b1, w2, b2 = res
+    impl = BWD_IMPL
+    if impl == "auto" and not interpret:
+        H, I = w1.shape[-2], w1.shape[-1]
+        M = 1
+        for d in x.shape[:-1]:
+            M *= d
+        if _pick_bwd_block_m(max(M, 1), H, I,
+                             itemsize=x.dtype.itemsize) is not None:
+            impl = "kernel"
+    if impl == "kernel":
+        H, I = w1.shape[-2], w1.shape[-1]
+        M = 1
+        for d in x.shape[:-1]:
+            M *= d
+        if interpret:
+            bm = min(block_m, max(M, 1))
+        else:
+            bm = _pick_bwd_block_m(max(M, 1), H, I, itemsize=x.dtype.itemsize)
+            assert bm is not None
+        return _ffn_bwd_call(x, w1, b1, w2, b2, g, act, bm, interpret)
     _, vjp = jax.vjp(lambda *a: _ffn_reference(*a, act=act), *res)
     return vjp(g)
 

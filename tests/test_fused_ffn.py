@@ -300,3 +300,110 @@ def test_in_budget_ffn_still_uses_kernel(monkeypatch):
     args = _inputs(rng, M=32)
     ff.fused_ffn(*args, block_m=16, interpret=True)
     assert called.get("yes")
+
+
+# ---------------------------------------------------------------------------
+# Fused backward kernel (recompute + 5 backward GEMMs in one Pallas call)
+# ---------------------------------------------------------------------------
+
+def _kernel_grads(args, w, act="gelu", block_m=16, monkeypatch=None):
+    """Grads of sum(fused_ffn * w) with the backward FORCED onto the
+    Pallas kernel (interpret mode — CPU tests)."""
+    from stonkgs_tpu.ops import fused_ffn as ff
+
+    monkeypatch.setattr(ff, "BWD_IMPL", "kernel")
+    return jax.grad(
+        lambda *a: jnp.sum(
+            ff.fused_ffn(*a, act=act, block_m=block_m, interpret=True)
+            .astype(jnp.float32) * w),
+        argnums=tuple(range(5)))(*args)
+
+
+def _reference_grads(args, w, act="gelu"):
+    return jax.grad(
+        lambda *a: jnp.sum(_ffn_reference(*a, act=act)
+                           .astype(jnp.float32) * w),
+        argnums=tuple(range(5)))(*args)
+
+
+@pytest.mark.parametrize("M,act", [(16, "gelu"), (24, "gelu"),
+                                   (24, "gelu_new")])
+def test_bwd_kernel_grads_match_reference_fp32(M, act, monkeypatch):
+    """All five grads vs the unfused-chain VJP; M=24 exercises the padded
+    tail (zero rows must be exact no-ops for every dW/db accumulator)."""
+    rng = np.random.default_rng(10)
+    args = _inputs(rng, M=M)
+    w = jnp.asarray(rng.standard_normal((M, args[0].shape[-1])), jnp.float32)
+    got = _kernel_grads(args, w, act=act, monkeypatch=monkeypatch)
+    ref = _reference_grads(args, w, act=act)
+    for name, a, b in zip("x w1 b1 w2 b2".split(), got, ref):
+        assert a.dtype == b.dtype, name
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6, rtol=2e-5,
+            err_msg=f"bwd-kernel grad mismatch for {name}")
+
+
+def test_bwd_kernel_grads_bf16(monkeypatch):
+    """bf16 activations: kernel grads track the unfused bf16 chain (the
+    kernel accumulates dW in fp32 where XLA rounds a single-GEMM output
+    to bf16, so tolerances are bf16-scale)."""
+    rng = np.random.default_rng(11)
+    args = _inputs(rng, M=32, dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((32, args[0].shape[-1])), jnp.float32)
+    got = _kernel_grads(args, w, monkeypatch=monkeypatch)
+    ref = _reference_grads(args, w)
+    for name, a, b in zip("x w1 b1 w2 b2".split(), got, ref):
+        assert a.dtype == b.dtype, name
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-2, rtol=5e-2,
+            err_msg=f"bwd-kernel bf16 grad mismatch for {name}")
+
+
+def test_bwd_kernel_multi_block_accumulation(monkeypatch):
+    """dW/db must accumulate across grid steps: run 4 row blocks and check
+    against the single-block answer."""
+    rng = np.random.default_rng(12)
+    args = _inputs(rng, M=64)
+    w = jnp.asarray(rng.standard_normal((64, args[0].shape[-1])), jnp.float32)
+    multi = _kernel_grads(args, w, block_m=16, monkeypatch=monkeypatch)
+    single = _kernel_grads(args, w, block_m=64, monkeypatch=monkeypatch)
+    for name, a, b in zip("x w1 b1 w2 b2".split(), multi, single):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6, rtol=2e-5,
+            err_msg=f"block-accumulation mismatch for {name}")
+
+
+def test_bwd_gate_calibration_points():
+    from stonkgs_tpu.ops.fused_ffn import (_pick_bwd_block_m,
+                                           ffn_bwd_kernel_fits)
+
+    # BERT-base training shape: bm=256's body temporaries measured 18.01M
+    # scoped (Mosaic fail at the 16M limit), bm=128 compiles — the picker
+    # must land on 128
+    assert not ffn_bwd_kernel_fits(256, 768, 3072)
+    assert ffn_bwd_kernel_fits(128, 768, 3072)
+    assert _pick_bwd_block_m(16384, 768, 3072, itemsize=2) == 128
+    # ProtBERT-shape FFN (1024->4096) can NEVER fit: the resident fp32 dW
+    # accumulators (33.6 MB) + bf16 weights (16.8 MB) alone exceed the
+    # 48 MB budget at any row block — those models keep the XLA recompute
+    assert _pick_bwd_block_m(16384, 1024, 4096, itemsize=2) is None
+    # fp32 is categorically rejected (bf16-path optimization)
+    assert _pick_bwd_block_m(16384, 768, 3072, itemsize=4) is None
+    # oversized weights never fit
+    assert _pick_bwd_block_m(16384, 2048, 8192, itemsize=2) is None
+
+
+def test_bwd_auto_stays_on_xla_under_interpret():
+    """On CPU (interpret) the auto backward must keep the XLA recompute
+    chain — bit-identical to the pre-kernel behavior."""
+    rng = np.random.default_rng(13)
+    args = _inputs(rng, M=16)
+    w = jnp.asarray(rng.standard_normal((16, args[0].shape[-1])), jnp.float32)
+    got = jax.grad(
+        lambda *a: jnp.sum(
+            fused_ffn(*a, block_m=16, interpret=True) * w),
+        argnums=tuple(range(5)))(*args)
+    ref = _reference_grads(args, w)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
