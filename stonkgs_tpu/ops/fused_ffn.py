@@ -189,7 +189,7 @@ def _ffn_reference(x, w1, b1, w2, b2, act: str = "gelu"):
 
 
 # ---------------------------------------------------------------------------
-# Fused backward kernel: recompute + all five backward GEMMs, one HBM pass
+# Fused backward kernel: recompute + dgelu + dx in one pass, dW GEMMs in XLA
 # ---------------------------------------------------------------------------
 
 _INV_SQRT2 = 0.7071067811865476
@@ -255,19 +255,14 @@ def ffn_bwd_kernel_fits(block_m: int, H: int, I: int, *,
     """Whether the backward kernel's working set fits Mosaic's limits.
 
     Two budgets, same model as ``infer_kernel_fits``/``ffn_kernel_fits``:
-    the ~16 MB scoped-VMEM limit is charged 4× the pipelined row blocks
-    (x, g, dx — Mosaic multi-buffers 4-deep at realistic grids) plus the
-    (bm, I) kernel-body temporaries; the 48 MB total budget additionally
-    holds the resident weights and the fp32 dW accumulators.  fp32 inputs
+    the ~16 MB scoped-VMEM limit is charged 4× the pipelined blocks —
+    x, g, dx (bm, H) plus the emitted dh, a (bm, I); Mosaic multi-buffers
+    4-deep at realistic grids — plus the kernel-body temporaries (the
+    fp32 elementwise chains, charged 12 bytes per (bm, I) element: fp32
+    h/dh32 + their bf16 casts; the rest fuses into the dots).  The 48 MB
+    total budget additionally holds the resident weights.  fp32 inputs
     are rejected outright like the forward kernels (bf16-path
-    optimization; see the round-5 note above).
-
-    Pipelined blocks: x, g, dx (bm, H) plus the emitted dh, a (bm, I);
-    body temporaries are the fp32
-    elementwise chains (charged 12 bytes per (bm, I) element: fp32
-    h/dh32 + their bf16 casts; the rest fuses into the dots — calibrated
-    against the measured 18.01 MiB accumulator failure, see the kernel
-    docstring)."""
+    optimization; see the round-5 note above)."""
     if itemsize > 2:
         return False
     pipelined = 4 * (3 * block_m * H * itemsize

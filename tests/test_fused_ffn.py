@@ -378,15 +378,15 @@ def test_bwd_gate_calibration_points():
     from stonkgs_tpu.ops.fused_ffn import (_pick_bwd_block_m,
                                            ffn_bwd_kernel_fits)
 
-    # BERT-base training shape: bm=256's body temporaries measured 18.01M
-    # scoped (Mosaic fail at the 16M limit), bm=128 compiles — the picker
-    # must land on 128
+    # BERT-base training shape: bm=256's 4-deep pipelined dh/a blocks
+    # alone exceed the 16 MB scoped limit; bm=128 compiles on hardware
+    # (and is the measured +7.3% step) — the picker must land on 128
     assert not ffn_bwd_kernel_fits(256, 768, 3072)
     assert ffn_bwd_kernel_fits(128, 768, 3072)
     assert _pick_bwd_block_m(16384, 768, 3072, itemsize=2) == 128
-    # ProtBERT-shape FFN (1024->4096) can NEVER fit: the resident fp32 dW
-    # accumulators (33.6 MB) + bf16 weights (16.8 MB) alone exceed the
-    # 48 MB budget at any row block — those models keep the XLA recompute
+    # ProtBERT-shape FFN (1024->4096): the (bm, I) chains + pipelined
+    # blocks exceed scoped VMEM at every row block >= 128 — that model
+    # keeps the XLA recompute chain
     assert _pick_bwd_block_m(16384, 1024, 4096, itemsize=2) is None
     # fp32 is categorically rejected (bf16-path optimization)
     assert _pick_bwd_block_m(16384, 768, 3072, itemsize=4) is None
